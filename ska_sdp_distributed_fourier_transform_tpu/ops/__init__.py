@@ -1,0 +1,32 @@
+"""Numerical ops: array primitives, PSWF window constants, the ten SwiFTly
+processing functions (JAX backend), and the MXU operator-algebra backend."""
+
+from .core import SwiftlyCore, check_swiftly_params
+from .primitives import (
+    broadcast,
+    coordinates,
+    create_slice,
+    extract_mid,
+    fft,
+    ifft,
+    pad_mid,
+    roll_and_extract_mid,
+    roll_and_extract_mid_axis,
+)
+from .pswf import make_window_constants, pswf_values
+
+__all__ = [
+    "SwiftlyCore",
+    "check_swiftly_params",
+    "broadcast",
+    "coordinates",
+    "create_slice",
+    "extract_mid",
+    "fft",
+    "ifft",
+    "pad_mid",
+    "roll_and_extract_mid",
+    "roll_and_extract_mid_axis",
+    "make_window_constants",
+    "pswf_values",
+]
