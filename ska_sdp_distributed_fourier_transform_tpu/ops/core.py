@@ -80,6 +80,16 @@ def _roll_extract_roll(a, scaled_off, size, axis):
     )
 
 
+def _scale_off(off, step):
+    """Scale an aligned offset by 1/step exactly.
+
+    Equivalent to ``off * size // N`` (reference formula) for offsets that
+    are multiples of ``step = N // size`` — floor semantics for any sign —
+    but immune to int32 overflow at N=128k scale on TPU.
+    """
+    return jnp.floor_divide(off, step)
+
+
 def extract_from_facet_fn(prep_facet, subgrid_off, axis, N, yN_size,
                           xM_yN_size):
     """BF(yN) -> NMBF(xM_yN): compact contribution extraction.
@@ -87,7 +97,7 @@ def extract_from_facet_fn(prep_facet, subgrid_off, axis, N, yN_size,
     Pure data movement (roll/extract/roll by the offset scaled to the padded
     facet rate). Reference: core.py:224-253.
     """
-    scaled_off = subgrid_off * yN_size // N
+    scaled_off = _scale_off(subgrid_off, N // yN_size)
     return _roll_extract_roll(prep_facet, scaled_off, xM_yN_size, axis)
 
 
@@ -97,7 +107,7 @@ def add_to_subgrid_fn(facet_contrib, facet_off, axis, N, xM_size, Fn):
 
     Reference: core.py:255-285 (add_mode).
     """
-    scaled_off = facet_off * xM_size // N
+    scaled_off = _scale_off(facet_off, N // xM_size)
     FNMBF = broadcast(Fn, facet_contrib.ndim, axis) * jnp.roll(
         fft(facet_contrib, axis), -scaled_off, axis=axis
     )
@@ -132,7 +142,7 @@ def extract_from_subgrid_fn(FSi, facet_off, axis, N, xM_size, xM_yN_size, Fn):
     """FS(xM) -> NAF(xM_yN): extract facet's contribution window, apply Fn,
     bring to image space. Reference: core.py:370-406.
     """
-    scaled_off = facet_off * xM_size // N
+    scaled_off = _scale_off(facet_off, N // xM_size)
     FNjSi = broadcast(Fn, FSi.ndim, axis) * extract_mid(
         jnp.roll(FSi, -scaled_off, axis=axis), xM_yN_size, axis
     )
@@ -143,7 +153,7 @@ def add_to_facet_fn(subgrid_contrib, subgrid_off, axis, N, yN_size):
     """NAF(xM_yN) -> facet-padded term (yN): phase-align, pad. To be
     accumulated over subgrids. Reference: core.py:408-449 (add_mode).
     """
-    scaled_off = subgrid_off * yN_size // N
+    scaled_off = _scale_off(subgrid_off, N // yN_size)
     MiNjSi = jnp.roll(subgrid_contrib, -scaled_off, axis=axis)
     return jnp.roll(pad_mid(MiNjSi, yN_size, axis), scaled_off, axis=axis)
 

@@ -1,0 +1,419 @@
+"""Sharded, column-streaming SwiFTly engine (the Dask replacement).
+
+The reference distributes work as a dynamic Dask task graph: per-tile tasks,
+scheduler-mediated pulls of contribution blocks, an LRU giving column
+locality, and a TaskQueue bounding in-flight work (reference api.py). On
+TPU the idiomatic equivalent is a **static compiled streaming program**:
+
+* facets live as one dense ``[F, yN, yB]`` array **sharded over the mesh**
+  (the reference's per-worker persisted ``BF_F`` buffers);
+* subgrids are processed **a column at a time** as dense batches — the
+  column-major order *is* the reference's LRU schedule, with the whole
+  column batched so the expensive axis-1 re-preparation (``NMBF_BF``) is
+  computed exactly once per (facet, column);
+* the forward redistribution (reference: nfacet^2 per-subgrid block pulls)
+  is one ``psum_scatter`` over the mesh axis: each device sums its local
+  facets' contributions to *all* subgrids of the column, and the collective
+  simultaneously reduces over facets and scatters over the subgrid batch;
+* the backward redistribution (per-facet block pushes) is one
+  ``all_to_all`` from subgrid-sharded to facet-sharded layout, followed by
+  a fused scatter-add into the per-column accumulator (the reference's
+  in-place ``accumulate_column``);
+* offsets are traced scalars/vectors — a single compiled program serves
+  every column; masks make sparse covers a special case of dense ones.
+
+Capacity note: facet count is padded to a multiple of the mesh size with
+zero-data dummy tiles, the column batch likewise with ``valid=0`` entries;
+both contribute exact zeros.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.core import (
+    SwiftlyCore,
+    add_to_facet_fn,
+    add_to_subgrid_fn,
+    extract_from_facet_fn,
+    extract_from_subgrid_fn,
+    finish_facet_fn,
+    finish_subgrid_fn,
+    prepare_facet_op,
+    prepare_subgrid_fn,
+)
+from .mesh import TILE_AXIS, make_tile_mesh, replicated_sharding, \
+    tile_sharding
+
+__all__ = ["ColumnPlan", "ShardedSwiftly"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnPlan:
+    """Static column-major schedule derived from a subgrid cover.
+
+    Subgrid configs are grouped by ``off0`` (column) and padded to a
+    rectangular ``[n_columns, batch]`` schedule. ``valid`` masks padding.
+    """
+
+    off0: np.ndarray  # [C] int32 — column offsets
+    sg_off1: np.ndarray  # [C, B] int32
+    valid: np.ndarray  # [C, B] float — 1 for real subgrids
+    mask0: np.ndarray  # [C, xA] — column boundary mask (axis 0)
+    mask1: np.ndarray  # [C, B, xA] — per-subgrid boundary mask (axis 1)
+    configs: list  # [C][B-or-fewer] original SubgridConfig objects
+
+    @property
+    def n_columns(self):
+        """Number of subgrid columns."""
+        return len(self.off0)
+
+    @property
+    def batch(self):
+        """Padded per-column subgrid batch size."""
+        return self.sg_off1.shape[1]
+
+    @classmethod
+    def from_configs(cls, subgrid_configs, xA_size, n_devices):
+        """Group subgrid configs into a padded column schedule."""
+        columns = {}
+        for cfg in subgrid_configs:
+            columns.setdefault(cfg.off0, []).append(cfg)
+        col_off0 = sorted(columns)
+        n_batch = _ceil_to(max(len(v) for v in columns.values()), n_devices)
+
+        C = len(col_off0)
+        off0 = np.zeros(C, dtype=np.int32)
+        sg_off1 = np.zeros((C, n_batch), dtype=np.int32)
+        valid = np.zeros((C, n_batch), dtype=np.float64)
+        mask0 = np.zeros((C, xA_size), dtype=np.float64)
+        mask1 = np.zeros((C, n_batch, xA_size), dtype=np.float64)
+        cfg_lists = []
+        for ci, o0 in enumerate(col_off0):
+            cfgs = sorted(columns[o0], key=lambda cfg: cfg.off1)
+            off0[ci] = o0
+            m0 = cfgs[0].mask0
+            mask0[ci] = 1.0 if m0 is None else np.asarray(m0)
+            for bi, cfg in enumerate(cfgs):
+                sg_off1[ci, bi] = cfg.off1
+                valid[ci, bi] = 1.0
+                m1 = cfg.mask1
+                mask1[ci, bi] = 1.0 if m1 is None else np.asarray(m1)
+            cfg_lists.append(cfgs)
+        return cls(off0, sg_off1, valid, mask0, mask1, cfg_lists)
+
+
+class ShardedSwiftly:
+    """Dense sharded forward/backward engine over a 1-D device mesh.
+
+    :param core: :class:`SwiftlyCore` providing parameters + constants
+    :param facet_configs: list of FacetConfig (uniform ``size``)
+    :param subgrid_configs: list of SubgridConfig (uniform ``size``)
+    :param mesh: 1-D `jax.sharding.Mesh`; default: all local devices
+    """
+
+    def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
+                 mesh=None):
+        self.core = core
+        self.mesh = mesh if mesh is not None else make_tile_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        sizes = {cfg.size for cfg in facet_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform facet size")
+        self.yB_size = sizes.pop()
+        sizes = {cfg.size for cfg in subgrid_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform subgrid size")
+        self.xA_size = sizes.pop()
+
+        self.facet_configs = list(facet_configs)
+        self.plan = ColumnPlan.from_configs(
+            subgrid_configs, self.xA_size, self.n_devices
+        )
+
+        # --- static facet metadata, padded to a mesh multiple ------------
+        F = len(self.facet_configs)
+        self.F_pad = _ceil_to(F, self.n_devices)
+        rd = core.real_dtype
+        self._foff0 = np.zeros(self.F_pad, dtype=np.int32)
+        self._foff1 = np.zeros(self.F_pad, dtype=np.int32)
+        self._fmask0 = np.zeros((self.F_pad, self.yB_size), dtype=rd)
+        self._fmask1 = np.zeros((self.F_pad, self.yB_size), dtype=rd)
+        for i, cfg in enumerate(self.facet_configs):
+            self._foff0[i] = cfg.off0
+            self._foff1[i] = cfg.off1
+            m0, m1 = cfg.mask0, cfg.mask1
+            self._fmask0[i] = 1.0 if m0 is None else np.asarray(m0)
+            self._fmask1[i] = 1.0 if m1 is None else np.asarray(m1)
+
+        self._shard = tile_sharding(self.mesh)
+        self._repl = replicated_sharding(self.mesh)
+        self._build_programs()
+
+    # ------------------------------------------------------------- packing
+
+    def pack_facets(self, facet_arrays):
+        """Stack per-facet arrays into the padded, sharded dense layout."""
+        data = np.zeros(
+            (self.F_pad, self.yB_size, self.yB_size),
+            dtype=self.core.dtype,
+        )
+        for i, arr in enumerate(facet_arrays):
+            data[i] = np.asarray(arr)
+        return jax.device_put(data, self._shard)
+
+    def unpack_facets(self, packed):
+        """Split the dense facet array back into per-facet arrays."""
+        return [packed[i] for i in range(len(self.facet_configs))]
+
+    def column_subgrids(self, col_index, sg_batch):
+        """Split a column's dense subgrid batch into (config, array) pairs."""
+        cfgs = self.plan.configs[col_index]
+        return list(zip(cfgs, [sg_batch[i] for i in range(len(cfgs))]))
+
+    def _col_args(self, ci):
+        plan = self.plan
+        rd = self.core.real_dtype
+        return (
+            jnp.asarray(plan.off0[ci], jnp.int32),
+            jnp.asarray(plan.sg_off1[ci], jnp.int32),
+            jnp.asarray(plan.valid[ci], rd),
+            jnp.asarray(plan.mask0[ci], rd),
+            jnp.asarray(plan.mask1[ci], rd),
+        )
+
+    # -------------------------------------------------------- the programs
+
+    def _build_programs(self):
+        core = self.core
+        N, yN, xM = core.N, core.yN_size, core.xM_size
+        c = core.xM_yN_size
+        yB, xA = self.yB_size, self.xA_size
+        Fb, Fn = core._Fb, core._Fn
+        mesh = self.mesh
+        cdtype = core.dtype
+
+        def prepare_local(facets, foff0):
+            # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
+            return jax.vmap(
+                lambda f, o0: prepare_facet_op(f, o0, 0, Fb, yN)
+            )(facets, foff0)
+
+        def fwd_column_local(BF_F, foff0, foff1, off0, sg_off1, valid,
+                             mask0, mask1):
+            # Column step: NMBF_BF once per (facet, column) — the cost the
+            # reference's forward LRU amortises (api_helper extract_column).
+            def col_one(bf, o1):
+                nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
+                return prepare_facet_op(nm, o1, 1, Fb, yN)
+
+            NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
+
+            # All subgrids of the column at once: [B, Floc, c, c]
+            def per_sg(o1b):
+                return jax.vmap(
+                    lambda nb: extract_from_facet_fn(nb, o1b, 1, N, yN, c)
+                )(NMBF_BF)
+
+            NMBF_NMBF = jax.vmap(per_sg)(sg_off1)
+
+            # Window + pad into the xM domain, accumulate over local facets
+            def add2d(x, o0f, o1f):
+                t = add_to_subgrid_fn(x, o0f, 0, N, xM, Fn)
+                return add_to_subgrid_fn(t, o1f, 1, N, xM, Fn)
+
+            terms = jax.vmap(
+                lambda xb: jax.vmap(add2d)(xb, foff0, foff1)
+            )(NMBF_NMBF)  # [B, Floc, xM, xM]
+            partial = terms.sum(axis=1)  # [B, xM, xM]
+
+            # The redistribution: reduce over facet shards, scatter over
+            # the subgrid batch — one collective over ICI.
+            summed = jax.lax.psum_scatter(
+                partial, TILE_AXIS, scatter_dimension=0, tiled=True
+            )  # [Bloc, xM, xM]
+
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = summed.shape[0]
+            my_off1 = jax.lax.dynamic_slice_in_dim(sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(valid, d * Bloc, Bloc)
+            my_mask1 = jax.lax.dynamic_slice_in_dim(mask1, d * Bloc, Bloc)
+
+            sg = jax.vmap(
+                lambda s, o1b: finish_subgrid_fn(s, [off0, o1b], xA)
+            )(summed, my_off1)  # [Bloc, xA, xA]
+            sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
+            sg = sg * my_mask1[:, jnp.newaxis, :]
+            sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            return sg
+
+        def bwd_column_local(sg, MNAF_BMNAF, foff0, foff1, fmask1, off0,
+                             sg_off1, valid):
+            # sg [Bloc, xA, xA] subgrid-sharded; accumulator facet-sharded.
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = sg.shape[0]
+            my_off1 = jax.lax.dynamic_slice_in_dim(sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(valid, d * Bloc, Bloc)
+
+            FS = jax.vmap(
+                lambda s, o1b, v: prepare_subgrid_fn(
+                    s * v.astype(cdtype), [off0, o1b], xM
+                )
+            )(sg, my_off1, my_valid)  # [Bloc, xM, xM]
+
+            def ext_all(fs):
+                def ext_f(o0f, o1f):
+                    e0 = extract_from_subgrid_fn(fs, o0f, 0, N, xM, c, Fn)
+                    return extract_from_subgrid_fn(e0, o1f, 1, N, xM, c, Fn)
+
+                return jax.vmap(ext_f)(foff0, foff1)
+
+            NAF_NAF = jax.vmap(ext_all)(FS)  # [Bloc, F_pad, c, c]
+
+            # Redistribute: subgrid-sharded -> facet-sharded over ICI.
+            x = jax.lax.all_to_all(
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # [B, Floc, c, c]
+
+            # accumulate_column, fused: scatter-add every subgrid's
+            # contribution directly into the [Floc, c, yN] column
+            # accumulator instead of materialising B padded copies.
+            s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
+            k = jnp.arange(c, dtype=jnp.int32)
+            # target column of source column k for subgrid b (derived from
+            # roll(-s) . pad_mid . roll(+s), see ops.core.add_to_facet_fn)
+            idx = (
+                yN // 2 - c // 2
+                + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                + s[:, jnp.newaxis]
+            ) % yN  # [B, c]
+            B = x.shape[0]
+            xr = x.transpose(1, 2, 0, 3).reshape(-1, c, B * c)
+            NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
+            NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+
+            # accumulate_facet: finish the column along axis 1 and fold it
+            # into the facet accumulator.
+            NAF_BMNAF = jax.vmap(
+                lambda a, o1f: finish_facet_fn(a, o1f, yB, 1, Fb)
+            )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
+            NAF_BMNAF = NAF_BMNAF * _my(
+                fmask1, d, NAF_MNAF.shape[0]
+            )[:, jnp.newaxis, :]
+
+            fold = jax.vmap(
+                lambda a: add_to_facet_fn(a, off0, 0, N, yN)
+            )(NAF_BMNAF)  # [Floc, yN, yB]
+            return MNAF_BMNAF + fold
+
+        def _my(arr, d, nloc):
+            return jax.lax.dynamic_slice_in_dim(arr, d * nloc, nloc)
+
+        def finish_local(MNAF_BMNAF, foff0, fmask0):
+            out = jax.vmap(
+                lambda a, o0: finish_facet_fn(a, o0, yB, 0, Fb)
+            )(MNAF_BMNAF, foff0)
+            return out * fmask0[:, :, jnp.newaxis]
+
+        shmap = functools.partial(jax.shard_map, mesh=mesh)
+        t, r = P(TILE_AXIS), P()
+
+        self._prepare = jax.jit(
+            shmap(prepare_local, in_specs=(t, t), out_specs=t)
+        )
+        self._fwd_column = jax.jit(
+            shmap(
+                fwd_column_local,
+                in_specs=(t, t, t, r, r, r, r, r),
+                out_specs=t,
+            )
+        )
+        # Facet metadata is replicated here: the extraction step computes
+        # every facet's contribution from the local subgrids before the
+        # all_to_all re-shards by facet.
+        self._bwd_column = jax.jit(
+            shmap(
+                bwd_column_local,
+                in_specs=(t, t, r, r, r, r, r, r),
+                out_specs=t,
+            ),
+            donate_argnums=(1,),
+        )
+        self._finish = jax.jit(
+            shmap(finish_local, in_specs=(t, t, t), out_specs=t)
+        )
+
+    # ------------------------------------------------------------- driving
+
+    def prepare_facets(self, packed_facets):
+        """facets [F_pad, yB, yB] -> device-resident BF_F [F_pad, yN, yB]."""
+        return self._prepare(packed_facets, self._dev(self._foff0))
+
+    def _dev(self, arr, repl=False):
+        return jax.device_put(arr, self._repl if repl else self._shard)
+
+    def zero_accumulator(self):
+        """Fresh facet-sharded MNAF_BMNAF accumulator."""
+        return jax.device_put(
+            jnp.zeros(
+                (self.F_pad, self.core.yN_size, self.yB_size),
+                dtype=self.core.dtype,
+            ),
+            self._shard,
+        )
+
+    def forward_column(self, BF_F, col_index):
+        """Produce the column's approximate subgrids [B, xA, xA]
+        (batch-sharded)."""
+        off0, sg_off1, valid, mask0, mask1 = self._col_args(col_index)
+        return self._fwd_column(
+            BF_F,
+            self._dev(self._foff0),
+            self._dev(self._foff1),
+            off0, sg_off1, valid, mask0, mask1,
+        )
+
+    def backward_column(self, sg_batch, col_index, MNAF_BMNAF):
+        """Fold a column of subgrids into the facet accumulator."""
+        off0, sg_off1, valid, _, _ = self._col_args(col_index)
+        return self._bwd_column(
+            sg_batch,
+            MNAF_BMNAF,
+            self._dev(self._foff0, repl=True),
+            self._dev(self._foff1, repl=True),
+            self._dev(self._fmask1, repl=True),
+            off0, sg_off1, valid,
+        )
+
+    def finish_facets(self, MNAF_BMNAF):
+        """Finish all facets: [F_pad, yB, yB] (facet-sharded)."""
+        return self._finish(
+            MNAF_BMNAF, self._dev(self._foff0), self._dev(self._fmask0)
+        )
+
+    def roundtrip(self, packed_facets):
+        """Full streaming round trip: facets -> every subgrid -> facets.
+
+        Returns ``(facets_out, n_subgrids)``. Column k+1's forward work is
+        dispatched while column k's backward fold is still executing (JAX
+        async dispatch provides the overlap the reference gets from Dask).
+        """
+        BF_F = self.prepare_facets(packed_facets)
+        accum = self.zero_accumulator()
+        n = 0
+        for ci in range(self.plan.n_columns):
+            sg = self.forward_column(BF_F, ci)
+            accum = self.backward_column(sg, ci, accum)
+            n += len(self.plan.configs[ci])
+        return self.finish_facets(accum), n

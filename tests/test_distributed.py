@@ -1,0 +1,109 @@
+"""Multi-chip integration tests on the 8-virtual-device CPU mesh.
+
+The sharded engine must reproduce the tile-streaming API's results:
+per-subgrid forward accuracy vs the DFT oracle and the end-to-end facet
+round trip below the reference bound, for mesh sizes that divide and
+don't divide the tile counts.
+"""
+
+import numpy as np
+import pytest
+
+from ska_sdp_distributed_fourier_transform_tpu import (
+    SwiftlyConfig,
+    check_facet,
+    check_subgrid,
+    make_facet,
+    make_full_facet_cover,
+    make_full_subgrid_cover,
+)
+from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+    ShardedSwiftly,
+    make_tile_mesh,
+)
+
+TEST_PARAMS = {
+    "W": 13.5625,
+    "fov": 1.0,
+    "N": 1024,
+    "yB_size": 416,
+    "yN_size": 512,
+    "xA_size": 228,
+    "xM_size": 256,
+}
+
+SOURCES = [(1, 1, 0)]
+
+
+def build_engine(n_devices):
+    config = SwiftlyConfig(**TEST_PARAMS)
+    facet_configs = make_full_facet_cover(config)
+    subgrid_configs = make_full_subgrid_cover(config)
+    mesh = make_tile_mesh(n_devices)
+    engine = ShardedSwiftly(
+        config._core, facet_configs, subgrid_configs, mesh
+    )
+    facets = [
+        make_facet(config.image_size, cfg, SOURCES) for cfg in facet_configs
+    ]
+    return config, engine, facet_configs, facets
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_forward_columns_match_oracle(n_devices):
+    """Every subgrid produced by the sharded forward matches the DFT
+    oracle."""
+    config, engine, _, facets = build_engine(n_devices)
+    packed = engine.pack_facets(facets)
+    BF_F = engine.prepare_facets(packed)
+    checked = 0
+    for ci in range(engine.plan.n_columns):
+        sg_batch = np.asarray(engine.forward_column(BF_F, ci))
+        for cfg, sg in engine.column_subgrids(ci, sg_batch):
+            err = check_subgrid(config.image_size, cfg, sg, SOURCES)
+            assert err < 3e-10, f"{cfg}: {err}"
+            checked += 1
+    assert checked == 25
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_roundtrip_meets_reference_bound(n_devices):
+    """facets -> all subgrids -> facets below the reference 3e-10 bound."""
+    config, engine, facet_configs, facets = build_engine(n_devices)
+    packed = engine.pack_facets(facets)
+    facets_out, n_subgrids = engine.roundtrip(packed)
+    assert n_subgrids == 25
+    facets_out = engine.unpack_facets(np.asarray(facets_out))
+    for cfg, approx in zip(facet_configs, facets_out):
+        err = check_facet(config.image_size, cfg, approx, SOURCES)
+        assert err < 3e-10, f"{cfg}: {err}"
+
+
+def test_engine_matches_streaming_api():
+    """Sharded engine and tile-streaming API produce identical subgrids
+    (same math, different schedule/layout)."""
+    from ska_sdp_distributed_fourier_transform_tpu import SwiftlyForward
+
+    config, engine, facet_configs, facets = build_engine(4)
+    packed = engine.pack_facets(facets)
+    BF_F = engine.prepare_facets(packed)
+
+    fwd = SwiftlyForward(config, list(zip(facet_configs, facets)), 1, 50)
+    for ci in [0, engine.plan.n_columns - 1]:
+        sg_batch = np.asarray(engine.forward_column(BF_F, ci))
+        for cfg, sg in engine.column_subgrids(ci, sg_batch):
+            ref = np.asarray(fwd.get_subgrid_task(cfg))
+            np.testing.assert_allclose(np.asarray(sg), ref, atol=1e-13)
+
+
+def test_column_plan_padding():
+    """Plans pad batch to a mesh multiple and preserve every config."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    subgrid_configs = make_full_subgrid_cover(config)
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import ColumnPlan
+
+    plan = ColumnPlan.from_configs(subgrid_configs, 228, 8)
+    assert plan.n_columns == 5
+    assert plan.batch % 8 == 0
+    assert int(plan.valid.sum()) == 25
+    assert sum(len(c) for c in plan.configs) == 25
