@@ -1,0 +1,278 @@
+"""Single-chip TPU benchmark: streaming facet->subgrid->facet round trip.
+
+Runs the sharded engine on the real TPU (complex64) over a full subgrid
+cover of an SKA-scale configuration, measures subgrids/s for the complete
+forward+backward stream, validates the round-trip RMSE on device, and
+compares against a CPU baseline of the same tile-streaming pipeline
+(the reference's per-tile task structure, here jit-compiled for CPU — a
+*generous* stand-in for the reference's per-worker numpy throughput).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "subgrids/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_device_facets(engine, facet_cfgs, sources, N):
+    """Construct masked point-source facets directly on device (scatter),
+    avoiding large host->device transfers over slow attachments."""
+    import jax
+    import jax.numpy as jnp
+
+    yB = engine.yB_size
+    fs, i0s, i1s, vals = [], [], [], []
+    for fi, cfg in enumerate(facet_cfgs):
+        for intensity, x0, x1 in sources:
+            r0 = (x0 - (cfg.off0 - yB // 2)) % N
+            r1 = (x1 - (cfg.off1 - yB // 2)) % N
+            if 0 <= r0 < yB and 0 <= r1 < yB:
+                fs.append(fi)
+                i0s.append(r0)
+                i1s.append(r1)
+                vals.append(intensity)
+    fs = np.asarray(fs, np.int32)
+    i0s = np.asarray(i0s, np.int32)
+    i1s = np.asarray(i1s, np.int32)
+    vals = np.asarray(vals, np.float32)
+    m0 = np.asarray(engine._fmask0, np.float32)
+    m1 = np.asarray(engine._fmask1, np.float32)
+
+    @jax.jit
+    def build(fs, i0s, i1s, vals, m0, m1):
+        f = jnp.zeros((engine.F_pad, yB, yB), jnp.float32)
+        f = f.at[fs, i0s, i1s].add(vals)
+        f = f * m0[:, :, jnp.newaxis] * m1[:, jnp.newaxis, :]
+        return f.astype(engine.core.dtype)
+
+    packed = build(fs, i0s, i1s, vals, m0, m1)
+    return jax.device_put(packed, engine._shard)
+
+
+def tpu_roundtrip(params, sources, n_columns=None):
+    """Timed full round trip on the default (TPU) backend in complex64."""
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        ShardedSwiftly,
+        make_tile_mesh,
+    )
+
+    config = SwiftlyConfig(dtype=jnp.complex64, **params)
+    facet_cfgs = make_full_facet_cover(config)
+    sg_cfgs = make_full_subgrid_cover(config)
+    mesh = make_tile_mesh()
+    engine = ShardedSwiftly(config._core, facet_cfgs, sg_cfgs, mesh)
+    N = config.image_size
+
+    C = engine.plan.n_columns if n_columns is None else min(
+        n_columns, engine.plan.n_columns
+    )
+
+    def stream():
+        # Facet array is freed right after prepare, BF_F before finish —
+        # keeps peak HBM well inside a single v5e for the 16k configs.
+        packed = build_device_facets(engine, facet_cfgs, sources, N)
+        BF_F = engine.prepare_facets(packed)
+        del packed
+        accum = engine.zero_accumulator()
+        n_subgrids = 0
+        for ci in range(C):
+            sg = engine.forward_column(BF_F, ci)
+            accum = engine.backward_column(sg, ci, accum)
+            n_subgrids += len(engine.plan.configs[ci])
+        del BF_F, sg
+        facets_out = engine.finish_facets(accum)
+        jax.block_until_ready(facets_out)
+        return facets_out, n_subgrids
+
+    # Warm-up: compile every program (column programs are offset-traced,
+    # so one compilation covers all columns).
+    facets_out, _ = stream()
+    del facets_out
+    log(f"compiled; {C} columns x {engine.plan.batch} batch")
+
+    # Timed full stream.
+    t0 = time.perf_counter()
+    facets_out, n_subgrids = stream()
+    elapsed = time.perf_counter() - t0
+
+    # Round-trip accuracy (only meaningful over the full cover).
+    rmse = None
+    if C == engine.plan.n_columns:
+        from ska_sdp_distributed_fourier_transform_tpu.utils import (
+            device_rmse,
+        )
+
+        packed = build_device_facets(engine, facet_cfgs, sources, N)
+        rmse = float(device_rmse(facets_out, packed))
+    return n_subgrids / elapsed, elapsed, n_subgrids, rmse
+
+
+def cpu_baseline(params, sources, n_sample=3):
+    """Per-subgrid cost of the tile-streaming pipeline on CPU (complex64),
+    extrapolated from one column: BF prepare (amortised over all columns),
+    column prep (amortised over the column batch), plus per-subgrid
+    forward+backward work."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from ska_sdp_distributed_fourier_transform_tpu import (
+            SwiftlyConfig,
+            make_full_facet_cover,
+            make_full_subgrid_cover,
+        )
+        from ska_sdp_distributed_fourier_transform_tpu.api_helper import (
+            accumulate_column,
+            extract_column,
+            make_facet,
+            prepare_and_split_subgrid,
+            sum_and_finish_subgrid,
+        )
+
+        config = SwiftlyConfig(dtype=jnp.complex64, **params)
+        core = config._core
+        facet_cfgs = make_full_facet_cover(config)
+        sg_cfgs = make_full_subgrid_cover(config)
+        N = config.image_size
+
+        F = len(facet_cfgs)
+        cols = sorted({cfg.off0 for cfg in sg_cfgs})
+        n_cols = len(cols)
+        col0 = [cfg for cfg in sg_cfgs if cfg.off0 == cols[0]]
+        B = len(col0)
+
+        # Cost one representative facet / subgrid and scale: F facets
+        # amortised over C*B subgrids (BF prepare) and B subgrids (column
+        # prep), plus the per-subgrid forward+backward work.
+        facet0 = jnp.asarray(
+            make_facet(N, facet_cfgs[0], sources), jnp.complex64
+        )
+
+        def timed(fn, reps=1):
+            jax.block_until_ready(fn())  # compile
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                jax.block_until_ready(fn())
+            return (time.perf_counter() - t0) / reps
+
+        t_bf1 = timed(
+            lambda: core.prepare_facet(facet0, facet_cfgs[0].off0, axis=0)
+        )
+        BF_F0 = core.prepare_facet(facet0, facet_cfgs[0].off0, axis=0)
+        t_col1 = timed(
+            lambda: extract_column(
+                core, BF_F0, cols[0], facet_cfgs[0].off1
+            )
+        )
+        NMBF_BF0 = extract_column(core, BF_F0, cols[0], facet_cfgs[0].off1)
+
+        def one_subgrid(sg_cfg):
+            NMBF_NMBFs = [
+                core.extract_from_facet(NMBF_BF0, sg_cfg.off1, axis=1)
+                for _ in facet_cfgs
+            ]
+            subgrid = sum_and_finish_subgrid(
+                core, NMBF_NMBFs, facet_cfgs, sg_cfg
+            )
+            NAF_NAFs = prepare_and_split_subgrid(
+                core, subgrid, [sg_cfg.off0, sg_cfg.off1], facet_cfgs
+            )
+            return [
+                accumulate_column(core, naf, None, sg_cfg.off1)
+                for naf in NAF_NAFs
+            ]
+
+        jax.block_until_ready(one_subgrid(col0[0]))  # compile
+        t0 = time.perf_counter()
+        for sg_cfg in col0[1 : 1 + n_sample]:
+            jax.block_until_ready(one_subgrid(sg_cfg))
+        t_sg = (time.perf_counter() - t0) / n_sample
+
+        per_sg = F * t_bf1 / (n_cols * B) + F * t_col1 / B + t_sg
+        return 1.0 / per_sg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--swift_config", default="16k[1]-n8k-512")
+    ap.add_argument("--columns", type=int, default=None,
+                    help="limit the number of subgrid columns (full cover "
+                    "by default)")
+    ap.add_argument("--source_number", type=int, default=8)
+    ap.add_argument("--skip_baseline", action="store_true")
+    args = ap.parse_args()
+
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    params = dict(SWIFT_CONFIGS[args.swift_config])
+    N = params["N"]
+    rng = np.random.default_rng(1)
+    sources = [
+        (
+            float(rng.normal()),
+            int(rng.integers(-N // 2, N // 2)),
+            int(rng.integers(-N // 2, N // 2)),
+        )
+        for _ in range(args.source_number)
+    ]
+
+    sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
+        params, sources, args.columns
+    )
+    log(
+        f"TPU: {n_subgrids} subgrids in {elapsed:.2f}s = {sgps:.2f} sg/s; "
+        f"round-trip RMSE {rmse}"
+    )
+
+    vs_baseline = None
+    if not args.skip_baseline:
+        base = cpu_baseline(params, sources)
+        vs_baseline = sgps / base
+        log(f"CPU baseline: {base:.3f} sg/s -> speedup {vs_baseline:.1f}x")
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"roundtrip_subgrids_per_s[{args.swift_config}]"
+                ),
+                "value": round(sgps, 3),
+                "unit": "subgrids/s",
+                "vs_baseline": (
+                    round(vs_baseline, 3) if vs_baseline else None
+                ),
+                "extra": {
+                    "n_subgrids": n_subgrids,
+                    "elapsed_s": round(elapsed, 3),
+                    "roundtrip_rmse_c64": rmse,
+                    "chip": "TPU v5e (1 chip)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,24 +60,35 @@ def check_swiftly_params(N: int, xM_size: int, yN_size: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def prepare_facet_op(facet, facet_off, axis, Fb, yN_size):
-    """facet(yB) -> BF(yN): grid-correct, pad, phase-align, ifft.
+def _phase(shift, n, sign, dtype):
+    """Image-space phase vector equivalent to a grid-space roll under the
+    centre-zero FFT convention:
+    ``ifft(roll(x, s)) == ifft(x) * _phase(s, n, +1)`` and
+    ``fft(roll(x, s)) == fft(x) * _phase(s, n, -1)``.
 
-    Reference: core.py:189-222. Expensive; reuse across subgrids.
+    Turns O(n)-data rolls of large buffers into an elementwise multiply
+    that XLA fuses into the FFT epilogue (a VPU op instead of a gather).
     """
-    facet_size = facet.shape[axis]
-    fb = extract_mid(Fb, facet_size, 0)
-    BF = pad_mid(facet * broadcast(fb, facet.ndim, axis), yN_size, axis)
-    return ifft(jnp.roll(BF, facet_off, axis=axis), axis)
+    j = jnp.arange(n) - n // 2
+    angle = (sign * 2 * jnp.pi / n) * shift * j
+    return jax.lax.complex(jnp.cos(angle), jnp.sin(angle)).astype(dtype)
+
+
+def _wrap_take(a, start, size, axis):
+    """Gather the wrap-around window ``out[i] = a[(start + i) mod n]``
+    along ``axis``. Equivalent to ``extract_mid(roll(a, -s), size)`` with
+    ``start = n//2 - size//2 + s``, but touches only ``size`` rows instead
+    of rolling the full buffer (the buffers here are up to yN=64k)."""
+    n = a.shape[axis]
+    idx = jnp.mod(start + jnp.arange(size), n)
+    return jnp.take(a, idx, axis=axis)
 
 
 def _roll_extract_roll(a, scaled_off, size, axis):
-    """roll(-s) . extract_mid(size) . roll(+s) along axis."""
-    return jnp.roll(
-        extract_mid(jnp.roll(a, -scaled_off, axis=axis), size, axis),
-        scaled_off,
-        axis=axis,
-    )
+    """roll(+s) . extract_mid(size) . roll(-s) along axis, gather-based."""
+    win = _wrap_take(a, a.shape[axis] // 2 - size // 2 + scaled_off, size,
+                     axis)
+    return jnp.roll(win, scaled_off, axis=axis)
 
 
 def _scale_off(off, step):
@@ -90,12 +101,27 @@ def _scale_off(off, step):
     return jnp.floor_divide(off, step)
 
 
+def prepare_facet_op(facet, facet_off, axis, Fb, yN_size):
+    """facet(yB) -> BF(yN): grid-correct, pad, phase-align, ifft.
+
+    Reference: core.py:189-222 (pad, roll by +facet_off, ifft). The roll
+    happens in grid space just before the ifft, so it is realised as an
+    image-space phase multiply after the ifft — same math, no yN-size
+    gather. Expensive; reuse across subgrids.
+    """
+    facet_size = facet.shape[axis]
+    fb = extract_mid(Fb, facet_size, 0)
+    BF = pad_mid(facet * broadcast(fb, facet.ndim, axis), yN_size, axis)
+    phase = _phase(facet_off, yN_size, +1, BF.dtype)
+    return ifft(BF, axis) * broadcast(phase, BF.ndim, axis)
+
+
 def extract_from_facet_fn(prep_facet, subgrid_off, axis, N, yN_size,
                           xM_yN_size):
     """BF(yN) -> NMBF(xM_yN): compact contribution extraction.
 
-    Pure data movement (roll/extract/roll by the offset scaled to the padded
-    facet rate). Reference: core.py:224-253.
+    Pure data movement — a wrap-around window gather of xM_yN rows at the
+    scaled subgrid offset (reference: core.py:224-253, roll/extract/roll).
     """
     scaled_off = _scale_off(subgrid_off, N // yN_size)
     return _roll_extract_roll(prep_facet, scaled_off, xM_yN_size, axis)
@@ -117,12 +143,17 @@ def add_to_subgrid_fn(facet_contrib, facet_off, axis, N, xM_size, Fn):
 def finish_subgrid_fn(summed_contribs, subgrid_offs, subgrid_size):
     """Summed contributions (xM per axis) -> approximate subgrid (xA).
 
-    Per axis: ifft, roll by -offset, extract. Reference: core.py:287-325.
+    Per axis: ifft then wrap-window gather at -offset (reference:
+    core.py:287-325, ifft/roll/extract).
     """
     tmp = summed_contribs
     for axis, off in enumerate(subgrid_offs):
-        tmp = extract_mid(
-            jnp.roll(ifft(tmp, axis), -off, axis=axis), subgrid_size, axis
+        img = ifft(tmp, axis)
+        tmp = _wrap_take(
+            img,
+            img.shape[axis] // 2 - subgrid_size // 2 + off,
+            subgrid_size,
+            axis,
         )
     return tmp
 
@@ -130,28 +161,35 @@ def finish_subgrid_fn(summed_contribs, subgrid_offs, subgrid_size):
 def prepare_subgrid_fn(subgrid, subgrid_offs, xM_size):
     """subgrid(xA) -> FS(xM): pad, phase-align, fft — all axes.
 
-    Reference: core.py:328-368.
+    The grid-space roll by +offset before the fft is realised as an
+    image-space phase multiply after it (reference: core.py:328-368).
     """
     tmp = subgrid
     for axis, off in enumerate(subgrid_offs):
-        tmp = fft(jnp.roll(pad_mid(tmp, xM_size, axis), off, axis=axis), axis)
+        g = fft(pad_mid(tmp, xM_size, axis), axis)
+        tmp = g * broadcast(_phase(off, xM_size, -1, g.dtype), g.ndim, axis)
     return tmp
 
 
-def extract_from_subgrid_fn(FSi, facet_off, axis, N, xM_size, xM_yN_size, Fn):
+def extract_from_subgrid_fn(FSi, facet_off, axis, N, xM_size, xM_yN_size,
+                            Fn):
     """FS(xM) -> NAF(xM_yN): extract facet's contribution window, apply Fn,
     bring to image space. Reference: core.py:370-406.
     """
     scaled_off = _scale_off(facet_off, N // xM_size)
-    FNjSi = broadcast(Fn, FSi.ndim, axis) * extract_mid(
-        jnp.roll(FSi, -scaled_off, axis=axis), xM_yN_size, axis
+    win = _wrap_take(
+        FSi, xM_size // 2 - xM_yN_size // 2 + scaled_off, xM_yN_size, axis
     )
+    FNjSi = broadcast(Fn, FSi.ndim, axis) * win
     return ifft(jnp.roll(FNjSi, scaled_off, axis=axis), axis)
 
 
 def add_to_facet_fn(subgrid_contrib, subgrid_off, axis, N, yN_size):
     """NAF(xM_yN) -> facet-padded term (yN): phase-align, pad. To be
     accumulated over subgrids. Reference: core.py:408-449 (add_mode).
+
+    (The sharded engine fuses this into a direct scatter-add on the
+    accumulator instead of materialising the padded buffer per subgrid.)
     """
     scaled_off = _scale_off(subgrid_off, N // yN_size)
     MiNjSi = jnp.roll(subgrid_contrib, -scaled_off, axis=axis)
@@ -160,16 +198,17 @@ def add_to_facet_fn(subgrid_contrib, subgrid_off, axis, N, yN_size):
 
 def finish_facet_fn(MiNjSi_sum, facet_off, facet_size, axis, Fb):
     """Accumulated contributions (yN) -> approximate facet (yB): fft,
-    de-align, extract, grid-correct by Fb. Reference: core.py:452-484.
+    de-align (wrap-window gather at -facet_off), grid-correct by Fb.
+    Reference: core.py:452-484.
     """
-    result = broadcast(
-        extract_mid(Fb, facet_size, 0), MiNjSi_sum.ndim, axis
-    ) * extract_mid(
-        jnp.roll(fft(MiNjSi_sum, axis), -facet_off, axis=axis),
+    g = fft(MiNjSi_sum, axis)
+    win = _wrap_take(
+        g,
+        g.shape[axis] // 2 - facet_size // 2 + facet_off,
         facet_size,
         axis,
     )
-    return result
+    return broadcast(extract_mid(Fb, facet_size, 0), win.ndim, axis) * win
 
 
 class SwiftlyCore:

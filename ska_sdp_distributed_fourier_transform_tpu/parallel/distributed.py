@@ -58,6 +58,27 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _psum_scatter_c(x, axis_name, scatter_dimension):
+    """psum_scatter for complex arrays via a stacked float pair.
+
+    TPU lowering lacks complex reduce-scatter (the 64-bit-type rewriter
+    bails on c64 collectives); float collectives are the native path."""
+    f = jnp.stack([jnp.real(x), jnp.imag(x)])
+    f = jax.lax.psum_scatter(
+        f, axis_name, scatter_dimension=scatter_dimension + 1, tiled=True
+    )
+    return jax.lax.complex(f[0], f[1]).astype(x.dtype)
+
+
+def _all_to_all_c(x, axis_name, split_axis, concat_axis):
+    """all_to_all for complex arrays via a stacked float pair."""
+    f = jnp.stack([jnp.real(x), jnp.imag(x)])
+    f = jax.lax.all_to_all(
+        f, axis_name, split_axis + 1, concat_axis + 1, tiled=True
+    )
+    return jax.lax.complex(f[0], f[1]).astype(x.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class ColumnPlan:
     """Static column-major schedule derived from a subgrid cover.
@@ -164,14 +185,18 @@ class ShardedSwiftly:
     # ------------------------------------------------------------- packing
 
     def pack_facets(self, facet_arrays):
-        """Stack per-facet arrays into the padded, sharded dense layout."""
+        """Stack per-facet arrays into the padded, sharded dense layout.
+
+        Uses float-pair transfers so it works on TPU attachments without
+        complex-transfer support."""
+        from ..utils.transfer import put_complex
+
         data = np.zeros(
-            (self.F_pad, self.yB_size, self.yB_size),
-            dtype=self.core.dtype,
+            (self.F_pad, self.yB_size, self.yB_size), dtype=complex
         )
         for i, arr in enumerate(facet_arrays):
             data[i] = np.asarray(arr)
-        return jax.device_put(data, self._shard)
+        return put_complex(data, self._shard, dtype=self.core.dtype)
 
     def unpack_facets(self, packed):
         """Split the dense facet array back into per-facet arrays."""
@@ -240,8 +265,8 @@ class ShardedSwiftly:
 
             # The redistribution: reduce over facet shards, scatter over
             # the subgrid batch — one collective over ICI.
-            summed = jax.lax.psum_scatter(
-                partial, TILE_AXIS, scatter_dimension=0, tiled=True
+            summed = _psum_scatter_c(
+                partial, TILE_AXIS, scatter_dimension=0
             )  # [Bloc, xM, xM]
 
             d = jax.lax.axis_index(TILE_AXIS)
@@ -282,8 +307,8 @@ class ShardedSwiftly:
             NAF_NAF = jax.vmap(ext_all)(FS)  # [Bloc, F_pad, c, c]
 
             # Redistribute: subgrid-sharded -> facet-sharded over ICI.
-            x = jax.lax.all_to_all(
-                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0, tiled=True
+            x = _all_to_all_c(
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
             )  # [B, Floc, c, c]
 
             # accumulate_column, fused: scatter-add every subgrid's
@@ -364,14 +389,18 @@ class ShardedSwiftly:
         return jax.device_put(arr, self._repl if repl else self._shard)
 
     def zero_accumulator(self):
-        """Fresh facet-sharded MNAF_BMNAF accumulator."""
-        return jax.device_put(
-            jnp.zeros(
-                (self.F_pad, self.core.yN_size, self.yB_size),
-                dtype=self.core.dtype,
-            ),
-            self._shard,
-        )
+        """Fresh facet-sharded MNAF_BMNAF accumulator.
+
+        Built inside a compiled program: eager complex-constant creation
+        implies a host transfer, which some TPU attachments lack."""
+        if not hasattr(self, "_zeros_fn"):
+            shape = (self.F_pad, self.core.yN_size, self.yB_size)
+            dtype = self.core.dtype
+            self._zeros_fn = jax.jit(
+                lambda: jnp.zeros(shape, dtype=dtype),
+                out_shardings=self._shard,
+            )
+        return self._zeros_fn()
 
     def forward_column(self, BF_F, col_index):
         """Produce the column's approximate subgrids [B, xA, xA]
