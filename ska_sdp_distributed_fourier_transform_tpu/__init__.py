@@ -30,6 +30,7 @@ __all__ = [
     "make_facet_from_sources",
     "make_subgrid_from_sources",
     "SwiftlyCore",
+    "SwiftlyCoreFunc",
     "TaskQueue",
     "LRUCache",
 ]
@@ -47,5 +48,5 @@ from .api import (
 )
 from .api_helper import check_facet, check_subgrid, make_facet, make_subgrid
 from .models import make_facet_from_sources, make_subgrid_from_sources
-from .ops import SwiftlyCore
+from .ops import SwiftlyCore, SwiftlyCoreFunc
 from .swift_configs import SWIFT_CONFIGS

@@ -106,12 +106,14 @@ class SwiftlyConfig:
     legacy/dask-era keyword arguments, which are ignored: there is no
     scheduler to attach to — the "cluster" is the local device set.
 
-    :param backend: "jax" (default). The reference aliases "numpy" and
-        "ska_sdp_func" are accepted and mapped to the JAX core.
+    :param backend: "jax" (default) for the XLA core; "native" for the
+        C++ backend (:class:`..ops.native.SwiftlyCoreFunc`). The reference
+        aliases are accepted: "numpy" maps to the JAX core,
+        "ska_sdp_func" to the native one.
     :param dtype: complex dtype override for the core.
     """
 
-    _BACKENDS = ("jax", "numpy", "ska_sdp_func")
+    _BACKENDS = ("jax", "numpy", "native", "ska_sdp_func")
 
     def __init__(
         self,
@@ -138,7 +140,13 @@ class SwiftlyConfig:
 
         if backend not in self._BACKENDS:
             raise ValueError(f"Unknown SwiFTly backend: {backend}")
-        self._core = SwiftlyCore(W, N, xM_size, yN_size, dtype=dtype)
+        if backend in ("native", "ska_sdp_func"):
+            from .ops.native import SwiftlyCoreFunc
+
+            self._core = SwiftlyCoreFunc(W, N, xM_size, yN_size,
+                                         dtype=dtype)
+        else:
+            self._core = SwiftlyCore(W, N, xM_size, yN_size, dtype=dtype)
 
         # The reference broadcast-scatters the core to every worker and
         # writes graph nodes as method calls on the scattered handle

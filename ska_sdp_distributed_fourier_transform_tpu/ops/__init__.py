@@ -1,7 +1,9 @@
 """Numerical ops: array primitives, PSWF window constants, the ten SwiFTly
-processing functions (JAX backend), and the MXU operator-algebra backend."""
+processing functions (JAX backend), the native C++ backend, and the MXU
+operator-algebra backend."""
 
 from .core import SwiftlyCore, check_swiftly_params
+from .native import SwiftlyCoreFunc, native_available
 from .primitives import (
     broadcast,
     coordinates,
@@ -17,6 +19,8 @@ from .pswf import make_window_constants, pswf_values
 
 __all__ = [
     "SwiftlyCore",
+    "SwiftlyCoreFunc",
+    "native_available",
     "check_swiftly_params",
     "broadcast",
     "coordinates",
