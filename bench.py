@@ -60,7 +60,7 @@ def build_device_facets(engine, facet_cfgs, sources, N):
     return jax.device_put(packed, engine._shard)
 
 
-def tpu_roundtrip(params, sources, n_columns=None):
+def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul"):
     """Timed full round trip on the default (TPU) backend in complex64."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +79,8 @@ def tpu_roundtrip(params, sources, n_columns=None):
     facet_cfgs = make_full_facet_cover(config)
     sg_cfgs = make_full_subgrid_cover(config)
     mesh = make_tile_mesh()
-    engine = ShardedSwiftly(config._core, facet_cfgs, sg_cfgs, mesh)
+    engine = ShardedSwiftly(config._core, facet_cfgs, sg_cfgs, mesh,
+                            engine_mode=engine_mode)
     N = config.image_size
 
     C = engine.plan.n_columns if n_columns is None else min(
@@ -219,6 +220,10 @@ def main():
                     help="limit the number of subgrid columns (full cover "
                     "by default)")
     ap.add_argument("--source_number", type=int, default=8)
+    ap.add_argument("--engine_mode", default="matmul",
+                    choices=["matmul", "fft"],
+                    help="matmul: contribution ops as MXU operator "
+                    "contractions; fft: gather+FFT formulation")
     ap.add_argument("--skip_baseline", action="store_true")
     args = ap.parse_args()
 
@@ -239,7 +244,7 @@ def main():
     ]
 
     sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
-        params, sources, args.columns
+        params, sources, args.columns, args.engine_mode
     )
     log(
         f"TPU: {n_subgrids} subgrids in {elapsed:.2f}s = {sgps:.2f} sg/s; "

@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for the SwiFTly hot contractions.
+
+The operator-algebra engine (:mod:`.operators`, engine_mode="matmul")
+spends its FLOPs in complex matmuls. XLA lowers a complex dot to 4 real
+MXU dots; these kernels use the 3-multiplication (Karatsuba) form and keep
+the real/imag planes in VMEM across the whole contraction:
+
+* :func:`cmatmul` — tiled complex matmul ``C = A @ B`` as 3 real MXU dots
+  per tile (25% less MXU time than the naive 4).
+* :func:`fused_sandwich` — ``out[b] = sum_f A0[f] @ X[b, f] @ A1[f]^T``,
+  the forward engine's add_to_subgrid_2d + facet-sum in one kernel: the
+  per-facet intermediate ``A0 @ X`` never leaves VMEM and the facet sum
+  accumulates into a VMEM scratch across grid steps.
+
+Complex arrays are passed as (real, imag) float pairs — TPU has no complex
+MXU path, and the split-plane layout is also what the engine's collectives
+use. All kernels run in interpret mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cmatmul", "fused_sandwich"]
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _karatsuba(ar, ai, br, bi):
+    """Complex product via 3 real dots (25% fewer MXU passes than the
+    naive 4). HIGHEST precision: true f32 via multi-pass bf16 — the MXU
+    default single-pass bf16 (~4e-3 relative) would swamp the c64 error
+    budget."""
+    prec = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+    p1 = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
+    p2 = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
+    p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=f32,
+                 precision=prec)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
+    cr, ci = _karatsuba(ar_ref[:], ai_ref[:], br_ref[:], bi_ref[:])
+    cr_ref[:] = cr
+    ci_ref[:] = ci
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n",
+                                             "interpret"))
+def _cmatmul(ar, ai, br, bi, tile_m, tile_n, interpret):
+    M, K = ar.shape
+    N = br.shape[1]
+    grid = (pl.cdiv(M, tile_m), pl.cdiv(N, tile_n))
+    a_spec = pl.BlockSpec((tile_m, K), lambda i, j: (i, 0),
+                          memory_space=pltpu.ANY if interpret else
+                          pltpu.VMEM)
+    b_spec = pl.BlockSpec((K, tile_n), lambda i, j: (0, j),
+                          memory_space=pltpu.ANY if interpret else
+                          pltpu.VMEM)
+    c_spec = pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                          memory_space=pltpu.ANY if interpret else
+                          pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((M, N), jnp.float32),
+        jax.ShapeDtypeStruct((M, N), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _cmatmul_kernel,
+        grid=grid,
+        in_specs=[a_spec, a_spec, b_spec, b_spec],
+        out_specs=[c_spec, c_spec],
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * N * K,
+            bytes_accessed=4 * (2 * M * K + 2 * K * N + 2 * M * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ar, ai, br, bi)
+
+
+def cmatmul(a, b, tile_m=256, tile_n=256, interpret=None):
+    """Complex matmul ``a @ b`` on the MXU via 3 real dots.
+
+    :param a: complex array [M, K] (or a (real, imag) float tuple)
+    :param b: complex array [K, N] (or a (real, imag) float tuple)
+    :param interpret: force Pallas interpret mode (default: off on TPU)
+    :return: complex64 array [M, N]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    ar, ai = (a if isinstance(a, tuple) else
+              (jnp.real(a).astype(jnp.float32),
+               jnp.imag(a).astype(jnp.float32)))
+    br, bi = (b if isinstance(b, tuple) else
+              (jnp.real(b).astype(jnp.float32),
+               jnp.imag(b).astype(jnp.float32)))
+    M, K = ar.shape
+    N = br.shape[1]
+    tile_m = min(tile_m, M)
+    tile_n = min(tile_n, N)
+    cr, ci = _cmatmul(ar, ai, br, bi, tile_m, tile_n, interpret)
+    return jax.lax.complex(cr, ci)
+
+
+# ---------------------------------------------------------------------------
+# Fused sandwich: out[b] = sum_f A0[f] @ X[b, f] @ A1[f]^T
+# ---------------------------------------------------------------------------
+
+
+def _sandwich_kernel(a0r_ref, a0i_ref, xr_ref, xi_ref, a1r_ref, a1i_ref,
+                     or_ref, oi_ref, acc_r, acc_i):
+    f = pl.program_id(1)
+    n_f = pl.num_programs(1)
+
+    @pl.when(f == 0)
+    def _():
+        acc_r[:] = jnp.zeros_like(acc_r)
+        acc_i[:] = jnp.zeros_like(acc_i)
+
+    # T = A0_f @ X[b, f]      [xM, c] — stays in registers/VMEM
+    tr, ti = _karatsuba(a0r_ref[0], a0i_ref[0], xr_ref[0, 0], xi_ref[0, 0])
+    # S = T @ A1_f^T          [xM, xM]
+    sr, si = _karatsuba(tr, ti, a1r_ref[0].T, a1i_ref[0].T)
+    acc_r[:] += sr
+    acc_i[:] += si
+
+    @pl.when(f == n_f - 1)
+    def _():
+        or_ref[0] = acc_r[:]
+        oi_ref[0] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
+    F, xM, c = a0r.shape
+    B = xr.shape[0]
+    grid = (B, F)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    a_spec = pl.BlockSpec((1, xM, c), lambda b, f: (f, 0, 0),
+                          memory_space=ms)
+    x_spec = pl.BlockSpec((1, 1, c, c), lambda b, f: (b, f, 0, 0),
+                          memory_space=ms)
+    o_spec = pl.BlockSpec((1, xM, xM), lambda b, f: (b, 0, 0),
+                          memory_space=ms)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, xM, xM), jnp.float32),
+        jax.ShapeDtypeStruct((B, xM, xM), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _sandwich_kernel,
+        grid=grid,
+        in_specs=[a_spec, a_spec, x_spec, x_spec, a_spec, a_spec],
+        out_specs=[o_spec, o_spec],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((xM, xM), jnp.float32),
+            pltpu.VMEM((xM, xM), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * F * (xM * c * c + xM * xM * c),
+            bytes_accessed=4 * (2 * F * xM * c * 2 + 2 * B * F * c * c
+                                + 2 * B * xM * xM),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a0r, a0i, xr, xi, a1r, a1i)
+
+
+def fused_sandwich(A0, X, A1, interpret=None):
+    """``out[b] = sum_f A0[f] @ X[b, f] @ A1[f]^T`` in one Pallas kernel.
+
+    The forward engine's hot contraction (add_to_subgrid_2d over all local
+    facets, summed): per (b, f) grid step the intermediate ``A0 @ X`` and
+    the running facet sum live in VMEM only.
+
+    :param A0: complex [F, xM, c] or (real, imag) float tuple
+    :param X: complex [B, F, c, c] or (real, imag) float tuple
+    :param A1: complex [F, xM, c] or (real, imag) float tuple
+    :return: complex64 [B, xM, xM]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    def split(z):
+        if isinstance(z, tuple):
+            return z
+        return (jnp.real(z).astype(jnp.float32),
+                jnp.imag(z).astype(jnp.float32))
+
+    a0r, a0i = split(A0)
+    xr, xi = split(X)
+    a1r, a1i = split(A1)
+    outr, outi = _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret)
+    return jax.lax.complex(outr, outi)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..ops import operators as linop
 from ..ops.core import (
     SwiftlyCore,
     add_to_facet_fn,
@@ -141,10 +142,20 @@ class ShardedSwiftly:
     :param facet_configs: list of FacetConfig (uniform ``size``)
     :param subgrid_configs: list of SubgridConfig (uniform ``size``)
     :param mesh: 1-D `jax.sharding.Mesh`; default: all local devices
+    :param engine_mode: ``"matmul"`` (default) applies the
+        contribution-rate ops as precomputed dense operators — batched
+        complex matmuls on the MXU, with window/pad/roll/FFT folded into
+        the operator (see :mod:`..ops.operators`); ``"fft"`` uses the
+        gather+FFT formulation (:mod:`..ops.core`). Identical math —
+        ``"fft"`` is the accuracy reference, ``"matmul"`` the TPU fast
+        path.
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
-                 mesh=None):
+                 mesh=None, engine_mode="matmul"):
+        if engine_mode not in ("matmul", "fft"):
+            raise ValueError(f"Unknown engine_mode: {engine_mode}")
+        self.engine_mode = engine_mode
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -180,7 +191,46 @@ class ShardedSwiftly:
 
         self._shard = tile_sharding(self.mesh)
         self._repl = replicated_sharding(self.mesh)
+        if self.engine_mode == "matmul":
+            self._build_operators()
         self._build_programs()
+
+    def _build_operators(self):
+        """Precompute the per-facet dense operators (host-side, float64)
+        that replace the contribution-rate FFT chains with MXU matmuls.
+
+        Facet offsets are static metadata, so the facet-side operators are
+        engine constants; the subgrid-side operators (finish/prepare)
+        depend on traced offsets and are realised inside the compiled
+        program as row/column gathers of the DFT matrices.
+        """
+        core = self.core
+        N, xM, c = core.N, core.xM_size, core.xM_yN_size
+        Fn = np.asarray(core._Fn, dtype=np.float64)
+        cd = core.dtype
+
+        del cd
+        # Host-side complex128; moved to device lazily through the
+        # float-pair transfer path (complex host->device transfers are
+        # unimplemented on some TPU attachments).
+        self._A0 = np.stack([  # [F_pad, xM, c]
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff0
+        ])
+        self._A1 = np.stack([
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff1
+        ])
+        self._E0 = np.stack([  # [F_pad, c, xM]
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff0
+        ])
+        self._E1 = np.stack([
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff1
+        ])
+        self._Fi_xM = linop.shifted_idft_matrix(xM)
+        self._F_xM = linop.shifted_dft_matrix(xM)
 
     # ------------------------------------------------------------- packing
 
@@ -235,6 +285,54 @@ class ShardedSwiftly:
                 lambda f, o0: prepare_facet_op(f, o0, 0, Fb, yN)
             )(facets, foff0)
 
+        prec = jax.lax.Precision.HIGHEST
+
+        def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                                valid, mask0, mask1):
+            # Matmul formulation: the whole add_to_subgrid_2d + facet-sum
+            # is one MXU einsum against precomputed per-facet operators;
+            # finish_subgrid is a sandwich against offset-gathered rows of
+            # the inverse-DFT matrix.
+            def col_one(bf, o1):
+                nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
+                return prepare_facet_op(nm, o1, 1, Fb, yN)
+
+            NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
+
+            def per_sg(o1b):
+                return jax.vmap(
+                    lambda nb: extract_from_facet_fn(nb, o1b, 1, N, yN, c)
+                )(NMBF_BF)
+
+            NMBF_NMBF = jax.vmap(per_sg)(sg_off1)  # [B, Floc, c, c]
+
+            partial = jnp.einsum(
+                "fqk,bfkl,frl->bqr", A0, NMBF_NMBF, A1, precision=prec
+            )  # [B, xM, xM]
+
+            summed = _psum_scatter_c(
+                partial, TILE_AXIS, scatter_dimension=0
+            )  # [Bloc, xM, xM]
+
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = summed.shape[0]
+            my_off1 = jax.lax.dynamic_slice_in_dim(sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(valid, d * Bloc, Bloc)
+            my_mask1 = jax.lax.dynamic_slice_in_dim(mask1, d * Bloc, Bloc)
+
+            base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+            G0 = jnp.take(Fi_xM, (base + off0) % xM, axis=0)
+            G1 = jax.vmap(
+                lambda o1b: jnp.take(Fi_xM, (base + o1b) % xM, axis=0)
+            )(my_off1)  # [Bloc, xA, xM]
+            sg = jnp.einsum(
+                "qk,bkl,brl->bqr", G0, summed, G1, precision=prec
+            )
+            sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
+            sg = sg * my_mask1[:, jnp.newaxis, :]
+            sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            return sg
+
         def fwd_column_local(BF_F, foff0, foff1, off0, sg_off1, valid,
                              mask0, mask1):
             # Column step: NMBF_BF once per (facet, column) — the cost the
@@ -282,6 +380,59 @@ class ShardedSwiftly:
             sg = sg * my_mask1[:, jnp.newaxis, :]
             sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
             return sg
+
+        def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
+                                fmask1, off0, sg_off1, valid):
+            # Matmul formulation of prepare_subgrid (column/row gathers of
+            # the DFT matrix) and extract_from_subgrid (precomputed
+            # per-facet operators); the redistribution and the fused
+            # scatter-add accumulation are unchanged.
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = sg.shape[0]
+            my_off1 = jax.lax.dynamic_slice_in_dim(sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(valid, d * Bloc, Bloc)
+
+            base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+            P0 = jnp.take(F_xM, (base + off0) % xM, axis=1)
+            P1 = jax.vmap(
+                lambda o1b: jnp.take(F_xM, (base + o1b) % xM, axis=1)
+            )(my_off1)  # [Bloc, xM, xA]
+            sgv = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            FS = jnp.einsum(
+                "iq,bqr,bjr->bij", P0, sgv, P1, precision=prec
+            )  # [Bloc, xM, xM]
+
+            NAF_NAF = jnp.einsum(
+                "fki,bij,flj->bfkl", E0, FS, E1, precision=prec
+            )  # [Bloc, F_pad, c, c]
+
+            x = _all_to_all_c(
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
+            )  # [B, Floc, c, c]
+
+            s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
+            k = jnp.arange(c, dtype=jnp.int32)
+            idx = (
+                yN // 2 - c // 2
+                + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                + s[:, jnp.newaxis]
+            ) % yN  # [B, c]
+            B = x.shape[0]
+            xr = x.transpose(1, 2, 0, 3).reshape(-1, c, B * c)
+            NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
+            NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+
+            NAF_BMNAF = jax.vmap(
+                lambda a, o1f: finish_facet_fn(a, o1f, yB, 1, Fb)
+            )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
+            NAF_BMNAF = NAF_BMNAF * _my(
+                fmask1, d, NAF_MNAF.shape[0]
+            )[:, jnp.newaxis, :]
+
+            fold = jax.vmap(
+                lambda a: add_to_facet_fn(a, off0, 0, N, yN)
+            )(NAF_BMNAF)  # [Floc, yN, yB]
+            return MNAF_BMNAF + fold
 
         def bwd_column_local(sg, MNAF_BMNAF, foff0, foff1, fmask1, off0,
                              sg_off1, valid):
@@ -357,24 +508,45 @@ class ShardedSwiftly:
         self._prepare = jax.jit(
             shmap(prepare_local, in_specs=(t, t), out_specs=t)
         )
-        self._fwd_column = jax.jit(
-            shmap(
-                fwd_column_local,
-                in_specs=(t, t, t, r, r, r, r, r),
-                out_specs=t,
+        if self.engine_mode == "matmul":
+            # A0/A1 are facet-sharded with BF_F; E0/E1 and the DFT
+            # matrices are replicated (the backward extraction computes
+            # every facet's block from the local subgrids before the
+            # all_to_all re-shards by facet).
+            self._fwd_column = jax.jit(
+                shmap(
+                    fwd_column_local_mm,
+                    in_specs=(t, t, t, r, t, r, r, r, r, r),
+                    out_specs=t,
+                )
             )
-        )
-        # Facet metadata is replicated here: the extraction step computes
-        # every facet's contribution from the local subgrids before the
-        # all_to_all re-shards by facet.
-        self._bwd_column = jax.jit(
-            shmap(
-                bwd_column_local,
-                in_specs=(t, t, r, r, r, r, r, r),
-                out_specs=t,
-            ),
-            donate_argnums=(1,),
-        )
+            self._bwd_column = jax.jit(
+                shmap(
+                    bwd_column_local_mm,
+                    in_specs=(t, t, r, r, r, r, r, r, r, r),
+                    out_specs=t,
+                ),
+                donate_argnums=(1,),
+            )
+        else:
+            self._fwd_column = jax.jit(
+                shmap(
+                    fwd_column_local,
+                    in_specs=(t, t, t, r, r, r, r, r),
+                    out_specs=t,
+                )
+            )
+            # Facet metadata is replicated here: the extraction step
+            # computes every facet's contribution from the local subgrids
+            # before the all_to_all re-shards by facet.
+            self._bwd_column = jax.jit(
+                shmap(
+                    bwd_column_local,
+                    in_specs=(t, t, r, r, r, r, r, r),
+                    out_specs=t,
+                ),
+                donate_argnums=(1,),
+            )
         self._finish = jax.jit(
             shmap(finish_local, in_specs=(t, t, t), out_specs=t)
         )
@@ -387,6 +559,20 @@ class ShardedSwiftly:
 
     def _dev(self, arr, repl=False):
         return jax.device_put(arr, self._repl if repl else self._shard)
+
+    def _dev_c(self, key, arr, repl=False):
+        """Cached complex device constant via float-pair transfer."""
+        from ..utils.transfer import put_complex
+
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = self._dev_cache = {}
+        if key not in cache:
+            cache[key] = put_complex(
+                arr, self._repl if repl else self._shard,
+                dtype=self.core.dtype,
+            )
+        return cache[key]
 
     def zero_accumulator(self):
         """Fresh facet-sharded MNAF_BMNAF accumulator.
@@ -406,6 +592,15 @@ class ShardedSwiftly:
         """Produce the column's approximate subgrids [B, xA, xA]
         (batch-sharded)."""
         off0, sg_off1, valid, mask0, mask1 = self._col_args(col_index)
+        if self.engine_mode == "matmul":
+            return self._fwd_column(
+                BF_F,
+                self._dev_c("A0", self._A0),
+                self._dev_c("A1", self._A1),
+                self._dev_c("Fi", self._Fi_xM, repl=True),
+                self._dev(self._foff1),
+                off0, sg_off1, valid, mask0, mask1,
+            )
         return self._fwd_column(
             BF_F,
             self._dev(self._foff0),
@@ -416,6 +611,17 @@ class ShardedSwiftly:
     def backward_column(self, sg_batch, col_index, MNAF_BMNAF):
         """Fold a column of subgrids into the facet accumulator."""
         off0, sg_off1, valid, _, _ = self._col_args(col_index)
+        if self.engine_mode == "matmul":
+            return self._bwd_column(
+                sg_batch,
+                MNAF_BMNAF,
+                self._dev_c("E0", self._E0, repl=True),
+                self._dev_c("E1", self._E1, repl=True),
+                self._dev_c("F", self._F_xM, repl=True),
+                self._dev(self._foff1, repl=True),
+                self._dev(self._fmask1, repl=True),
+                off0, sg_off1, valid,
+            )
         return self._bwd_column(
             sg_batch,
             MNAF_BMNAF,

@@ -35,13 +35,14 @@ TEST_PARAMS = {
 SOURCES = [(1, 1, 0)]
 
 
-def build_engine(n_devices):
+def build_engine(n_devices, engine_mode="fft"):
     config = SwiftlyConfig(**TEST_PARAMS)
     facet_configs = make_full_facet_cover(config)
     subgrid_configs = make_full_subgrid_cover(config)
     mesh = make_tile_mesh(n_devices)
     engine = ShardedSwiftly(
-        config._core, facet_configs, subgrid_configs, mesh
+        config._core, facet_configs, subgrid_configs, mesh,
+        engine_mode=engine_mode,
     )
     facets = [
         make_facet(config.image_size, cfg, SOURCES) for cfg in facet_configs
@@ -49,11 +50,12 @@ def build_engine(n_devices):
     return config, engine, facet_configs, facets
 
 
+@pytest.mark.parametrize("engine_mode", ["fft", "matmul"])
 @pytest.mark.parametrize("n_devices", [1, 2, 8])
-def test_forward_columns_match_oracle(n_devices):
+def test_forward_columns_match_oracle(n_devices, engine_mode):
     """Every subgrid produced by the sharded forward matches the DFT
     oracle."""
-    config, engine, _, facets = build_engine(n_devices)
+    config, engine, _, facets = build_engine(n_devices, engine_mode)
     packed = engine.pack_facets(facets)
     BF_F = engine.prepare_facets(packed)
     checked = 0
@@ -66,10 +68,13 @@ def test_forward_columns_match_oracle(n_devices):
     assert checked == 25
 
 
+@pytest.mark.parametrize("engine_mode", ["fft", "matmul"])
 @pytest.mark.parametrize("n_devices", [1, 8])
-def test_roundtrip_meets_reference_bound(n_devices):
+def test_roundtrip_meets_reference_bound(n_devices, engine_mode):
     """facets -> all subgrids -> facets below the reference 3e-10 bound."""
-    config, engine, facet_configs, facets = build_engine(n_devices)
+    config, engine, facet_configs, facets = build_engine(
+        n_devices, engine_mode
+    )
     packed = engine.pack_facets(facets)
     facets_out, n_subgrids = engine.roundtrip(packed)
     assert n_subgrids == 25
@@ -107,3 +112,15 @@ def test_column_plan_padding():
     assert plan.batch % 8 == 0
     assert int(plan.valid.sum()) == 25
     assert sum(len(c) for c in plan.configs) == 25
+
+
+def test_engine_modes_agree():
+    """The MXU operator engine and the FFT engine compute the same thing
+    (operators fold window/pad/roll/FFT exactly)."""
+    _, eng_f, _, facets = build_engine(8, "fft")
+    _, eng_m, _, facets_m = build_engine(8, "matmul")
+    out_f, _ = eng_f.roundtrip(eng_f.pack_facets(facets))
+    out_m, _ = eng_m.roundtrip(eng_m.pack_facets(facets_m))
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_m), atol=1e-10
+    )
