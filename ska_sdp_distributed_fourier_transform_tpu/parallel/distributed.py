@@ -588,12 +588,10 @@ class ShardedSwiftly:
             )
         return self._zeros_fn()
 
-    def forward_column(self, BF_F, col_index):
-        """Produce the column's approximate subgrids [B, xA, xA]
-        (batch-sharded)."""
+    def _forward_args(self, BF_F, col_index):
         off0, sg_off1, valid, mask0, mask1 = self._col_args(col_index)
         if self.engine_mode == "matmul":
-            return self._fwd_column(
+            return (
                 BF_F,
                 self._dev_c("A0", self._A0),
                 self._dev_c("A1", self._A1),
@@ -601,18 +599,22 @@ class ShardedSwiftly:
                 self._dev(self._foff1),
                 off0, sg_off1, valid, mask0, mask1,
             )
-        return self._fwd_column(
+        return (
             BF_F,
             self._dev(self._foff0),
             self._dev(self._foff1),
             off0, sg_off1, valid, mask0, mask1,
         )
 
-    def backward_column(self, sg_batch, col_index, MNAF_BMNAF):
-        """Fold a column of subgrids into the facet accumulator."""
+    def forward_column(self, BF_F, col_index):
+        """Produce the column's approximate subgrids [B, xA, xA]
+        (batch-sharded)."""
+        return self._fwd_column(*self._forward_args(BF_F, col_index))
+
+    def _backward_args(self, sg_batch, col_index, MNAF_BMNAF):
         off0, sg_off1, valid, _, _ = self._col_args(col_index)
         if self.engine_mode == "matmul":
-            return self._bwd_column(
+            return (
                 sg_batch,
                 MNAF_BMNAF,
                 self._dev_c("E0", self._E0, repl=True),
@@ -622,7 +624,7 @@ class ShardedSwiftly:
                 self._dev(self._fmask1, repl=True),
                 off0, sg_off1, valid,
             )
-        return self._bwd_column(
+        return (
             sg_batch,
             MNAF_BMNAF,
             self._dev(self._foff0, repl=True),
@@ -630,6 +632,50 @@ class ShardedSwiftly:
             self._dev(self._fmask1, repl=True),
             off0, sg_off1, valid,
         )
+
+    def backward_column(self, sg_batch, col_index, MNAF_BMNAF):
+        """Fold a column of subgrids into the facet accumulator."""
+        return self._bwd_column(
+            *self._backward_args(sg_batch, col_index, MNAF_BMNAF)
+        )
+
+    def lowered(self, col_index=0):
+        """AOT-compile the four programs at a column's shapes.
+
+        Returns ``{name: compiled}`` for static inspection — collective
+        accounting (:func:`..utils.observability.collective_bytes`), FLOP
+        estimates, memory analyses — without executing anything.
+        """
+        core = self.core
+        yN, yB = core.yN_size, self.yB_size
+        xA = self.xA_size
+        B = self.plan.batch
+
+        def sds(shape, dtype=None, repl=False):
+            return jax.ShapeDtypeStruct(
+                shape, dtype or core.dtype,
+                sharding=self._repl if repl else self._shard,
+            )
+
+        facets = sds((self.F_pad, yB, yB))
+        BF_F = sds((self.F_pad, yN, yB))
+        accum = sds((self.F_pad, yN, yB))
+        sg = sds((B, xA, xA))
+
+        out = {}
+        out["prepare"] = self._prepare.lower(
+            facets, self._dev(self._foff0)
+        ).compile()
+        out["fwd_column"] = self._fwd_column.lower(
+            *self._forward_args(BF_F, col_index)
+        ).compile()
+        out["bwd_column"] = self._bwd_column.lower(
+            *self._backward_args(sg, col_index, accum)
+        ).compile()
+        out["finish"] = self._finish.lower(
+            accum, self._dev(self._foff0), self._dev(self._fmask0)
+        ).compile()
+        return out
 
     def finish_facets(self, MNAF_BMNAF):
         """Finish all facets: [F_pad, yB, yB] (facet-sharded)."""
