@@ -1,6 +1,28 @@
-"""Utilities: transfer-safe host<->device movement, metrics/instrumentation,
-checkpointing."""
+"""Utilities: transfer-safe host<->device movement, profiling/metrics,
+communication accounting, checkpoint/resume."""
 
+from .checkpoint import StreamCheckpointer, load_checkpoint, save_checkpoint
+from .observability import (
+    MemorySampler,
+    collective_bytes,
+    engine_collective_bytes,
+    get_and_write_transfer,
+    human_readable_size,
+    performance_report,
+)
 from .transfer import device_rmse, get_complex, put_complex
 
-__all__ = ["device_rmse", "get_complex", "put_complex"]
+__all__ = [
+    "device_rmse",
+    "get_complex",
+    "put_complex",
+    "MemorySampler",
+    "collective_bytes",
+    "engine_collective_bytes",
+    "get_and_write_transfer",
+    "human_readable_size",
+    "performance_report",
+    "StreamCheckpointer",
+    "load_checkpoint",
+    "save_checkpoint",
+]
