@@ -30,12 +30,30 @@ TEST_PARAMS = {
     "xM_size": 256,
 }
 
-BACKENDS = ["jax"]
+def _native_available():
+    from ska_sdp_distributed_fourier_transform_tpu.ops.native import (
+        native_available,
+    )
+
+    return native_available()
+
+
+# Both backends, the reference's dual-backend pattern (its test_core.py
+# parametrises over ["numpy", "ska_sdp_func"]).
+BACKENDS = ["jax"] + (["native"] if _native_available() else [])
 
 
 def make_core(pars, backend="jax"):
     if backend == "jax":
         return SwiftlyCore(
+            pars["W"], pars["N"], pars["xM_size"], pars["yN_size"]
+        )
+    if backend == "native":
+        from ska_sdp_distributed_fourier_transform_tpu.ops.native import (
+            SwiftlyCoreFunc,
+        )
+
+        return SwiftlyCoreFunc(
             pars["W"], pars["N"], pars["xM_size"], pars["yN_size"]
         )
     raise ValueError(f"Unknown backend {backend}!")
@@ -324,10 +342,12 @@ def test_out_protocol(backend):
     dft = make_core(TEST_PARAMS, backend)
     c = np.ones(dft.xM_yN_size, dtype=complex)
     first = dft.add_to_subgrid(c, 0, axis=0)
+    # snapshot: the native backend accumulates into `out` in place (the
+    # reference's "do not reuse the parameter" semantics), the JAX
+    # backend returns a fresh array
+    base = np.array(np.asarray(first))
     second = dft.add_to_subgrid(c, 0, axis=0, out=first)
-    np.testing.assert_allclose(
-        np.asarray(second), 2 * np.asarray(first), atol=1e-14
-    )
+    np.testing.assert_allclose(np.asarray(second), 2 * base, atol=1e-14)
     with pytest.raises(ValueError):
         dft.add_to_subgrid(c, 0, axis=0, out=np.zeros(3, dtype=complex))
 
