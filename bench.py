@@ -87,10 +87,20 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul"):
         n_columns, engine.plan.n_columns
     )
 
+    full_cover = C == engine.plan.n_columns
+
     def stream():
-        # Facet array is freed right after prepare, BF_F before finish —
-        # keeps peak HBM well inside a single v5e for the 16k configs.
         packed = build_device_facets(engine, facet_cfgs, sources, N)
+        if full_cover:
+            # Whole stream (prepare -> scan over fused fwd+bwd columns
+            # -> finish) as ONE compiled program: no per-column dispatch.
+            facets_out = engine._run_stream(packed)
+            n_subgrids = sum(len(c) for c in engine.plan.configs)
+            jax.block_until_ready(facets_out)
+            return facets_out, n_subgrids
+        # Column-limited run drives the per-column programs. Facet array
+        # is freed right after prepare, BF_F before finish — keeps peak
+        # HBM well inside a single v5e for the 16k configs.
         BF_F = engine.prepare_facets(packed)
         del packed
         accum = engine.zero_accumulator()

@@ -80,6 +80,16 @@ def _all_to_all_c(x, axis_name, split_axis, concat_axis):
     return jax.lax.complex(f[0], f[1]).astype(x.dtype)
 
 
+def _varying_zeros(shape, dtype):
+    """Zeros typed as varying over the tile axis (scan carries inside
+    shard_map must match the body output's varying-axis type)."""
+    z = jnp.zeros(shape, dtype=dtype)
+    try:
+        return jax.lax.pcast(z, (TILE_AXIS,), to="varying")
+    except (AttributeError, TypeError):
+        return z
+
+
 @dataclasses.dataclass(frozen=True)
 class ColumnPlan:
     """Static column-major schedule derived from a subgrid cover.
@@ -551,6 +561,78 @@ class ShardedSwiftly:
             shmap(finish_local, in_specs=(t, t, t), out_specs=t)
         )
 
+        # --- whole-stream program: prepare -> scan over columns (fused
+        # forward+backward per column) -> finish, in ONE compiled
+        # dispatch. Columns are an identical offset-traced program, so
+        # lax.scan carries the facet accumulator across them with zero
+        # per-column dispatch overhead (which dominates on tunnelled or
+        # small-problem setups).
+        if self.engine_mode == "matmul":
+
+            def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
+                             foff1, foff1_r, fmask0, fmask1_r, cols):
+                BF_F = prepare_local(facets, foff0)
+                accum0 = _varying_zeros(
+                    (facets.shape[0], yN, yB), cdtype
+                )
+
+                def body(acc, col):
+                    off0, sg_off1, valid, mask0, mask1 = col
+                    sg = fwd_column_local_mm(
+                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                        valid, mask0, mask1,
+                    )
+                    acc = bwd_column_local_mm(
+                        sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
+                        sg_off1, valid,
+                    )
+                    return acc, None
+
+                accum, _ = jax.lax.scan(body, accum0, cols)
+                return finish_local(accum, foff0, fmask0)
+
+            col_spec = (r, r, r, r, r)
+            self._stream = jax.jit(
+                shmap(
+                    stream_local,
+                    in_specs=(t, t, t, r, r, r, r, t, t, r, t, r,
+                              col_spec),
+                    out_specs=t,
+                )
+            )
+        else:
+
+            def stream_local(facets, foff0, foff1, foff0_r, foff1_r,
+                             fmask0, fmask1_r, cols):
+                BF_F = prepare_local(facets, foff0)
+                accum0 = _varying_zeros(
+                    (facets.shape[0], yN, yB), cdtype
+                )
+
+                def body(acc, col):
+                    off0, sg_off1, valid, mask0, mask1 = col
+                    sg = fwd_column_local(
+                        BF_F, foff0, foff1, off0, sg_off1, valid, mask0,
+                        mask1,
+                    )
+                    acc = bwd_column_local(
+                        sg, acc, foff0_r, foff1_r, fmask1_r, off0,
+                        sg_off1, valid,
+                    )
+                    return acc, None
+
+                accum, _ = jax.lax.scan(body, accum0, cols)
+                return finish_local(accum, foff0, fmask0)
+
+            col_spec = (r, r, r, r, r)
+            self._stream = jax.jit(
+                shmap(
+                    stream_local,
+                    in_specs=(t, t, t, r, r, t, r, col_spec),
+                    out_specs=t,
+                )
+            )
+
     # ------------------------------------------------------------- driving
 
     def prepare_facets(self, packed_facets):
@@ -683,18 +765,64 @@ class ShardedSwiftly:
             MNAF_BMNAF, self._dev(self._foff0), self._dev(self._fmask0)
         )
 
-    def roundtrip(self, packed_facets):
+    def _all_col_args(self):
+        plan = self.plan
+        rd = self.core.real_dtype
+        return (
+            jnp.asarray(plan.off0, jnp.int32),
+            jnp.asarray(plan.sg_off1, jnp.int32),
+            jnp.asarray(plan.valid, rd),
+            jnp.asarray(plan.mask0, rd),
+            jnp.asarray(plan.mask1, rd),
+        )
+
+    def roundtrip(self, packed_facets, fused=True):
         """Full streaming round trip: facets -> every subgrid -> facets.
 
-        Returns ``(facets_out, n_subgrids)``. Column k+1's forward work is
-        dispatched while column k's backward fold is still executing (JAX
-        async dispatch provides the overlap the reference gets from Dask).
+        Returns ``(facets_out, n_subgrids)``.
+
+        ``fused=True`` (default) runs prepare + a ``lax.scan`` over the
+        fused per-column forward+backward + finish as ONE compiled
+        program — zero per-column dispatch overhead. ``fused=False``
+        drives the per-column programs from Python (the mode the
+        streaming API and checkpointer use); JAX async dispatch still
+        overlaps column k+1's forward with column k's backward fold.
         """
+        n = sum(len(c) for c in self.plan.configs)
+        if fused:
+            return self._run_stream(packed_facets), n
         BF_F = self.prepare_facets(packed_facets)
         accum = self.zero_accumulator()
-        n = 0
         for ci in range(self.plan.n_columns):
             sg = self.forward_column(BF_F, ci)
             accum = self.backward_column(sg, ci, accum)
-            n += len(self.plan.configs[ci])
         return self.finish_facets(accum), n
+
+    def _run_stream(self, packed_facets):
+        cols = self._all_col_args()
+        if self.engine_mode == "matmul":
+            return self._stream(
+                packed_facets,
+                self._dev_c("A0", self._A0),
+                self._dev_c("A1", self._A1),
+                self._dev_c("Fi", self._Fi_xM, repl=True),
+                self._dev_c("F", self._F_xM, repl=True),
+                self._dev_c("E0", self._E0, repl=True),
+                self._dev_c("E1", self._E1, repl=True),
+                self._dev(self._foff0),
+                self._dev(self._foff1),
+                self._dev(self._foff1, repl=True),
+                self._dev(self._fmask0),
+                self._dev(self._fmask1, repl=True),
+                cols,
+            )
+        return self._stream(
+            packed_facets,
+            self._dev(self._foff0),
+            self._dev(self._foff1),
+            self._dev(self._foff0, repl=True),
+            self._dev(self._foff1, repl=True),
+            self._dev(self._fmask0),
+            self._dev(self._fmask1, repl=True),
+            cols,
+        )
