@@ -60,7 +60,8 @@ def build_device_facets(engine, facet_cfgs, sources, N):
     return jax.device_put(packed, engine._shard)
 
 
-def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul"):
+def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
+                  precision="high"):
     """Timed full round trip on the default (TPU) backend in complex64."""
     import jax
     import jax.numpy as jnp
@@ -80,7 +81,7 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul"):
     sg_cfgs = make_full_subgrid_cover(config)
     mesh = make_tile_mesh()
     engine = ShardedSwiftly(config._core, facet_cfgs, sg_cfgs, mesh,
-                            engine_mode=engine_mode)
+                            engine_mode=engine_mode, precision=precision)
     N = config.image_size
 
     C = engine.plan.n_columns if n_columns is None else min(
@@ -234,6 +235,9 @@ def main():
                     choices=["matmul", "fft"],
                     help="matmul: contribution ops as MXU operator "
                     "contractions; fft: gather+FFT formulation")
+    ap.add_argument("--precision", default="high",
+                    choices=["default", "high", "highest"],
+                    help="MXU precision for the operator contractions")
     ap.add_argument("--skip_baseline", action="store_true")
     args = ap.parse_args()
 
@@ -254,7 +258,7 @@ def main():
     ]
 
     sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
-        params, sources, args.columns, args.engine_mode
+        params, sources, args.columns, args.engine_mode, args.precision
     )
     log(
         f"TPU: {n_subgrids} subgrids in {elapsed:.2f}s = {sgps:.2f} sg/s; "
