@@ -231,8 +231,8 @@ def main():
                     help="limit the number of subgrid columns (full cover "
                     "by default)")
     ap.add_argument("--source_number", type=int, default=8)
-    ap.add_argument("--engine_mode", default="matmul",
-                    choices=["matmul", "fft"],
+    ap.add_argument("--engine_mode", default="pallas",
+                    choices=["matmul", "pallas", "fft"],
                     help="matmul: contribution ops as MXU operator "
                     "contractions; fft: gather+FFT formulation")
     ap.add_argument("--precision", default="high",

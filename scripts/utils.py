@@ -111,7 +111,7 @@ def cli_parser():
         "--engine_mode",
         type=str,
         default="matmul",
-        choices=["matmul", "fft"],
+        choices=["matmul", "pallas", "fft"],
         help="Sharded-engine compute formulation",
     )
     parser.add_argument(

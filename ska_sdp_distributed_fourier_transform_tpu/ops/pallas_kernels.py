@@ -29,6 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cmatmul", "fused_sandwich"]
 
 
+def _sds(shape, ref):
+    """ShapeDtypeStruct inheriting the varying-mesh-axes type of ``ref``
+    (required for pallas_call outputs inside shard_map)."""
+    try:
+        vma = jax.typeof(ref).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -36,17 +48,28 @@ def _is_tpu() -> bool:
         return False
 
 
+def _dot3(a, b):
+    """~f32 matmul as 3 bf16 MXU passes (the "HIGH"-precision split,
+    written out because Mosaic only lowers DEFAULT/HIGHEST dots): split
+    each operand into a bf16 high part plus a bf16 residual and drop the
+    residual-x-residual term."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    ah = a.astype(bf16)
+    bh = b.astype(bf16)
+    al = (a - ah.astype(f32)).astype(bf16)
+    bl = (b - bh.astype(f32)).astype(bf16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _karatsuba(ar, ai, br, bi):
     """Complex product via 3 real dots (25% fewer MXU passes than the
-    naive 4). HIGHEST precision: true f32 via multi-pass bf16 — the MXU
-    default single-pass bf16 (~4e-3 relative) would swamp the c64 error
+    naive 4), each at ~f32 precision via the 3-pass bf16 split — the MXU
+    single-pass bf16 default (~4e-3 relative) would swamp the c64 error
     budget."""
-    prec = jax.lax.Precision.HIGHEST
-    f32 = jnp.float32
-    p1 = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
-    p2 = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
-    p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=f32,
-                 precision=prec)
+    p1 = _dot3(ar, br)
+    p2 = _dot3(ai, bi)
+    p3 = _dot3(ar + ai, br + bi)
     return p1 - p2, p3 - p1 - p2
 
 
@@ -71,10 +94,7 @@ def _cmatmul(ar, ai, br, bi, tile_m, tile_n, interpret):
     c_spec = pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
                           memory_space=pltpu.ANY if interpret else
                           pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((M, N), jnp.float32),
-        jax.ShapeDtypeStruct((M, N), jnp.float32),
-    ]
+    out_shape = [_sds((M, N), ar), _sds((M, N), ar)]
     return pl.pallas_call(
         _cmatmul_kernel,
         grid=grid,
@@ -154,10 +174,7 @@ def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
                           memory_space=ms)
     o_spec = pl.BlockSpec((1, xM, xM), lambda b, f: (b, 0, 0),
                           memory_space=ms)
-    out_shape = [
-        jax.ShapeDtypeStruct((B, xM, xM), jnp.float32),
-        jax.ShapeDtypeStruct((B, xM, xM), jnp.float32),
-    ]
+    out_shape = [_sds((B, xM, xM), xr), _sds((B, xM, xM), xr)]
     return pl.pallas_call(
         _sandwich_kernel,
         grid=grid,

@@ -168,9 +168,12 @@ class ShardedSwiftly:
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high"):
-        if engine_mode not in ("matmul", "fft"):
+        if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
+        # "pallas" is the operator engine with the forward contraction
+        # done by the fused Pallas kernel instead of an XLA einsum
+        self._operator_mode = engine_mode in ("matmul", "pallas")
         self.precision = jax.lax.Precision(precision)
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
@@ -207,7 +210,7 @@ class ShardedSwiftly:
 
         self._shard = tile_sharding(self.mesh)
         self._repl = replicated_sharding(self.mesh)
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
             self._build_operators()
         self._build_programs()
 
@@ -302,6 +305,7 @@ class ShardedSwiftly:
             )(facets, foff0)
 
         prec = self.precision
+        use_pallas_fwd = self.engine_mode == "pallas"
 
         def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
                                 valid, mask0, mask1):
@@ -322,9 +326,17 @@ class ShardedSwiftly:
 
             NMBF_NMBF = jax.vmap(per_sg)(sg_off1)  # [B, Floc, c, c]
 
-            partial = jnp.einsum(
-                "fqk,bfkl,frl->bqr", A0, NMBF_NMBF, A1, precision=prec
-            )  # [B, xM, xM]
+            if use_pallas_fwd:
+                from ..ops.pallas_kernels import fused_sandwich
+
+                partial = fused_sandwich(A0, NMBF_NMBF, A1).astype(
+                    cdtype
+                )  # [B, xM, xM]
+            else:
+                partial = jnp.einsum(
+                    "fqk,bfkl,frl->bqr", A0, NMBF_NMBF, A1,
+                    precision=prec,
+                )  # [B, xM, xM]
 
             summed = _psum_scatter_c(
                 partial, TILE_AXIS, scatter_dimension=0
@@ -534,13 +546,19 @@ class ShardedSwiftly:
             )(MNAF_BMNAF, foff0)
             return out * fmask0[:, :, jnp.newaxis]
 
-        shmap = functools.partial(jax.shard_map, mesh=mesh)
+        # Pallas kernels don't participate in shard_map's varying-axes
+        # (vma) type checking yet — ref indexing inside the kernel trips
+        # the checker — so it is disabled for the pallas engine mode.
+        shmap = functools.partial(
+            jax.shard_map, mesh=mesh,
+            check_vma=self.engine_mode != "pallas",
+        )
         t, r = P(TILE_AXIS), P()
 
         self._prepare = jax.jit(
             shmap(prepare_local, in_specs=(t, t), out_specs=t)
         )
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
             # A0/A1 are facet-sharded with BF_F; E0/E1 and the DFT
             # matrices are replicated (the backward extraction computes
             # every facet's block from the local subgrids before the
@@ -589,7 +607,7 @@ class ShardedSwiftly:
         # lax.scan carries the facet accumulator across them with zero
         # per-column dispatch overhead (which dominates on tunnelled or
         # small-problem setups).
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
 
             def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
                              foff1, foff1_r, fmask0, fmask1_r, cols):
@@ -696,7 +714,7 @@ class ShardedSwiftly:
 
     def _forward_args(self, BF_F, col_index):
         off0, sg_off1, valid, mask0, mask1 = self._col_args(col_index)
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
             return (
                 BF_F,
                 self._dev_c("A0", self._A0),
@@ -719,7 +737,7 @@ class ShardedSwiftly:
 
     def _backward_args(self, sg_batch, col_index, MNAF_BMNAF):
         off0, sg_off1, valid, _, _ = self._col_args(col_index)
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
             return (
                 sg_batch,
                 MNAF_BMNAF,
@@ -824,7 +842,7 @@ class ShardedSwiftly:
 
     def _run_stream(self, packed_facets):
         cols = self._all_col_args()
-        if self.engine_mode == "matmul":
+        if self._operator_mode:
             return self._stream(
                 packed_facets,
                 self._dev_c("A0", self._A0),

@@ -124,3 +124,15 @@ def test_engine_modes_agree():
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_m), atol=1e-10
     )
+
+
+def test_pallas_engine_mode_agrees():
+    """engine_mode='pallas' (forward contraction in the Pallas kernel,
+    f32 interpret on CPU) matches the matmul engine to kernel precision."""
+    _, eng_m, _, facets = build_engine(4, "matmul")
+    _, eng_p, _, _ = build_engine(4, "pallas")
+    out_m, _ = eng_m.roundtrip(eng_m.pack_facets(facets))
+    out_p, _ = eng_p.roundtrip(eng_p.pack_facets(facets))
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_m), atol=5e-6
+    )
