@@ -44,7 +44,7 @@ TEST_PARAMS = {
         (200, 1, 2, True),
     ],
 )
-@pytest.mark.parametrize("backend", ["jax"])
+@pytest.mark.parametrize("backend", ["jax", "ska_sdp_func"])
 def test_swiftly_api(queue_size, lru_forward, lru_backward, shuffle,
                      backend):
     """Full forward+backward streaming round trip."""
