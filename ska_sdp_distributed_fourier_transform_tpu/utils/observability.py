@@ -190,8 +190,11 @@ def collective_bytes(compiled):
         if not m:
             continue
         op = m.group(2)
-        if op.rstrip("-start").rstrip("-done") not in _COLLECTIVES and \
-                op not in _COLLECTIVES:
+        base = op
+        for suffix in ("-start", "-done"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+        if base not in _COLLECTIVES:
             continue
         if op.endswith("-done"):
             continue  # avoid double counting async pairs
