@@ -167,7 +167,8 @@ class ShardedSwiftly:
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
-                 mesh=None, engine_mode="matmul", precision="high"):
+                 mesh=None, engine_mode="matmul", precision="high",
+                 process_subgrid=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -175,6 +176,13 @@ class ShardedSwiftly:
         # done by the fused Pallas kernel instead of an XLA einsum
         self._operator_mode = engine_mode in ("matmul", "pallas")
         self.precision = jax.lax.Precision(precision)
+        # Optional jax-traceable hook applied to every produced subgrid
+        # batch before it is consumed — the spot where gridding/
+        # degridding plugs in (the reference's pass-through
+        # `process_subgrid`, demo_api.py:40-42). Signature:
+        # fn(sg[Bloc, xA, xA], off0, off1[Bloc]) -> [Bloc, xA, xA].
+        # Traced into the compiled stream, so it must be functional.
+        self.process_subgrid = process_subgrid
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -359,6 +367,8 @@ class ShardedSwiftly:
             sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
             sg = sg * my_mask1[:, jnp.newaxis, :]
             sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            if self.process_subgrid is not None:
+                sg = self.process_subgrid(sg, off0, my_off1)
             return sg
 
         def fwd_column_local(BF_F, foff0, foff1, off0, sg_off1, valid,
@@ -407,6 +417,8 @@ class ShardedSwiftly:
             sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
             sg = sg * my_mask1[:, jnp.newaxis, :]
             sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            if self.process_subgrid is not None:
+                sg = self.process_subgrid(sg, off0, my_off1)
             return sg
 
         def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,

@@ -136,3 +136,24 @@ def test_pallas_engine_mode_agrees():
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_m), atol=5e-6
     )
+
+
+def test_process_subgrid_hook():
+    """A jax-traceable process_subgrid hook (the gridding/degridding
+    plug-in point) is applied to every produced subgrid inside the
+    compiled stream."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+    base = ShardedSwiftly(config._core, fcs, sgs, mesh)
+    hook = ShardedSwiftly(
+        config._core, fcs, sgs, mesh,
+        process_subgrid=lambda sg, off0, off1: 2.0 * sg,
+    )
+    a, _ = base.roundtrip(base.pack_facets(facets))
+    b, _ = hook.roundtrip(hook.pack_facets(facets))
+    np.testing.assert_allclose(
+        np.asarray(b), 2 * np.asarray(a), atol=1e-12
+    )
