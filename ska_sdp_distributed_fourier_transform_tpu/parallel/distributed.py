@@ -643,11 +643,67 @@ class ShardedSwiftly:
                 accum, _ = jax.lax.scan(body, accum0, cols)
                 return finish_local(accum, foff0, fmask0)
 
+            def stream_fwd_local(facets, A0, A1, Fi_xM, foff0, foff1,
+                                 cols):
+                # Degridding direction: produce every column's subgrids
+                # [C, Bloc, xA, xA], one compiled dispatch.
+                BF_F = prepare_local(facets, foff0)
+
+                def body(_, col):
+                    off0, sg_off1, valid, mask0, mask1 = col
+                    sg = fwd_column_local_mm(
+                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                        valid, mask0, mask1,
+                    )
+                    return 0, sg
+
+                _, sgs = jax.lax.scan(body, 0, cols)
+                return sgs
+
+            def stream_bwd_local(sgs, E0, E1, F_xM, foff0, foff1_r,
+                                 fmask0, fmask1_r, cols):
+                # Gridding direction: consume [C, Bloc, xA, xA] subgrids
+                # into finished facets, one compiled dispatch.
+                accum0 = _varying_zeros(
+                    (fmask0.shape[0], yN, yB), cdtype
+                )
+
+                def body(acc, col_and_sg):
+                    col, sg = col_and_sg
+                    off0, sg_off1, valid, _, _ = col
+                    acc = bwd_column_local_mm(
+                        sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
+                        sg_off1, valid,
+                    )
+                    return acc, None
+
+                accum, _ = jax.lax.scan(body, accum0, (cols, sgs))
+                return finish_local(accum, foff0, fmask0)
+
             col_spec = (r, r, r, r, r)
             self._stream = jax.jit(
                 shmap(
                     stream_local,
                     in_specs=(t, t, t, r, r, r, r, t, t, r, t, r,
+                              col_spec),
+                    out_specs=t,
+                ),
+                donate_argnums=(0,),
+            )
+            self._stream_fwd = jax.jit(
+                shmap(
+                    stream_fwd_local,
+                    in_specs=(t, t, t, r, t, t, col_spec),
+                    # ys are stacked per column: [C, Bloc, xA, xA] with
+                    # the batch axis sharded
+                    out_specs=P(None, TILE_AXIS),
+                ),
+                donate_argnums=(0,),
+            )
+            self._stream_bwd = jax.jit(
+                shmap(
+                    stream_bwd_local,
+                    in_specs=(P(None, TILE_AXIS), r, r, r, t, r, t, r,
                               col_spec),
                     out_specs=t,
                 ),
@@ -851,6 +907,46 @@ class ShardedSwiftly:
             sg = self.forward_column(BF_F, ci)
             accum = self.backward_column(sg, ci, accum)
         return self.finish_facets(accum), n
+
+    def forward_stream(self, packed_facets):
+        """Degridding direction in one dispatch: facets -> every subgrid
+        of every column, returned as ``[C, B, xA, xA]`` (batch-sharded).
+        Donates ``packed_facets``. Operator engine modes only."""
+        if not self._operator_mode:
+            raise NotImplementedError(
+                "forward_stream requires engine_mode matmul/pallas"
+            )
+        cols = self._all_col_args()
+        return self._stream_fwd(
+            packed_facets,
+            self._dev_c("A0", self._A0),
+            self._dev_c("A1", self._A1),
+            self._dev_c("Fi", self._Fi_xM, repl=True),
+            self._dev(self._foff0),
+            self._dev(self._foff1),
+            cols,
+        )
+
+    def backward_stream(self, subgrids):
+        """Gridding direction in one dispatch: ``[C, B, xA, xA]``
+        subgrids -> finished facets. Donates ``subgrids``. Operator
+        engine modes only."""
+        if not self._operator_mode:
+            raise NotImplementedError(
+                "backward_stream requires engine_mode matmul/pallas"
+            )
+        cols = self._all_col_args()
+        return self._stream_bwd(
+            subgrids,
+            self._dev_c("E0", self._E0, repl=True),
+            self._dev_c("E1", self._E1, repl=True),
+            self._dev_c("F", self._F_xM, repl=True),
+            self._dev(self._foff0),
+            self._dev(self._foff1, repl=True),
+            self._dev(self._fmask0),
+            self._dev(self._fmask1, repl=True),
+            cols,
+        )
 
     def _run_stream(self, packed_facets):
         cols = self._all_col_args()

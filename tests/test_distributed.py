@@ -157,3 +157,19 @@ def test_process_subgrid_hook():
     np.testing.assert_allclose(
         np.asarray(b), 2 * np.asarray(a), atol=1e-12
     )
+
+
+def test_forward_backward_streams():
+    """Single-dispatch degridding (forward_stream) and gridding
+    (backward_stream) match the oracle bounds."""
+    from ska_sdp_distributed_fourier_transform_tpu import check_subgrid
+
+    config, engine, facet_configs, facets = build_engine(8, "matmul")
+    sgs = engine.forward_stream(engine.pack_facets(facets))
+    assert sgs.shape[0] == engine.plan.n_columns
+    for ci in (0, engine.plan.n_columns - 1):
+        for cfg, sg in engine.column_subgrids(ci, np.asarray(sgs[ci])):
+            assert check_subgrid(config.image_size, cfg, sg, SOURCES) < 3e-10
+    out = engine.backward_stream(sgs)
+    for cfg, approx in zip(facet_configs, np.asarray(out)):
+        assert check_facet(config.image_size, cfg, approx, SOURCES) < 3e-10
