@@ -305,6 +305,7 @@ class ShardedSwiftly:
         Fb, Fn = core._Fb, core._Fn
         mesh = self.mesh
         cdtype = core.dtype
+        rdtype = core.real_dtype
 
         def prepare_local(facets, foff0):
             # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
@@ -421,12 +422,12 @@ class ShardedSwiftly:
                 sg = self.process_subgrid(sg, off0, my_off1)
             return sg
 
-        def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
-                                fmask1, off0, sg_off1, valid):
+        def _bwd_nafb_mm(sg, E0, E1, F_xM, foff1, fmask1, off0,
+                         sg_off1, valid):
             # Matmul formulation of prepare_subgrid (column/row gathers of
             # the DFT matrix) and extract_from_subgrid (precomputed
-            # per-facet operators); the redistribution and the fused
-            # scatter-add accumulation are unchanged.
+            # per-facet operators); returns the column's finished facet
+            # rows plus their target positions in the accumulator.
             d = jax.lax.axis_index(TILE_AXIS)
             Bloc = sg.shape[0]
             my_off1 = jax.lax.dynamic_slice_in_dim(sg_off1, d * Bloc, Bloc)
@@ -469,7 +470,7 @@ class ShardedSwiftly:
                 fmask1, d, NAF_MNAF.shape[0]
             )[:, jnp.newaxis, :]
 
-            # add_to_facet axis=0, fused: scatter-add the c finished rows
+            # add_to_facet axis=0, fused: the c finished rows scatter
             # straight into the accumulator instead of padding each
             # column's contribution to a full [Floc, yN, yB] temporary
             # (the pad+add dominated the backward fold's HBM traffic).
@@ -478,12 +479,34 @@ class ShardedSwiftly:
             rows = (
                 yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
             ) % yN  # [c]
+            return NAF_BMNAF, rows
+
+        def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
+                                fmask1, off0, sg_off1, valid):
+            NAF_BMNAF, rows = _bwd_nafb_mm(
+                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
+            )
             return MNAF_BMNAF.at[:, rows, :].add(
                 NAF_BMNAF, unique_indices=True, mode="promise_in_bounds"
             )
 
-        def bwd_column_local(sg, MNAF_BMNAF, foff0, foff1, fmask1, off0,
-                             sg_off1, valid):
+        def bwd_column_pair_mm(sg, acc_pair, E0, E1, F_xM, foff1, fmask1,
+                               off0, sg_off1, valid):
+            # Scan-carry variant: the accumulator is an f32 (real, imag)
+            # pair — complex scatters on a loop carry miscompile on some
+            # TPU shapes, and float scatters are the native path anyway.
+            NAF_BMNAF, rows = _bwd_nafb_mm(
+                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
+            )
+            u = jnp.stack(
+                [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
+            ).astype(acc_pair.dtype)
+            return acc_pair.at[:, :, rows, :].add(
+                u, unique_indices=True, mode="promise_in_bounds"
+            )
+
+        def _bwd_nafb_fft(sg, foff0, foff1, fmask1, off0, sg_off1,
+                          valid):
             # sg [Bloc, xA, xA] subgrid-sharded; accumulator facet-sharded.
             d = jax.lax.axis_index(TILE_AXIS)
             Bloc = sg.shape[0]
@@ -545,8 +568,28 @@ class ShardedSwiftly:
             rows = (
                 yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
             ) % yN  # [c]
+            return NAF_BMNAF, rows
+
+        def bwd_column_local(sg, MNAF_BMNAF, foff0, foff1, fmask1, off0,
+                             sg_off1, valid):
+            NAF_BMNAF, rows = _bwd_nafb_fft(
+                sg, foff0, foff1, fmask1, off0, sg_off1, valid
+            )
             return MNAF_BMNAF.at[:, rows, :].add(
                 NAF_BMNAF, unique_indices=True, mode="promise_in_bounds"
+            )
+
+        def bwd_column_pair(sg, acc_pair, foff0, foff1, fmask1, off0,
+                            sg_off1, valid):
+            # f32-pair carry variant for scans (see bwd_column_pair_mm)
+            NAF_BMNAF, rows = _bwd_nafb_fft(
+                sg, foff0, foff1, fmask1, off0, sg_off1, valid
+            )
+            u = jnp.stack(
+                [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
+            ).astype(acc_pair.dtype)
+            return acc_pair.at[:, :, rows, :].add(
+                u, unique_indices=True, mode="promise_in_bounds"
             )
 
         def _my(arr, d, nloc):
@@ -613,6 +656,19 @@ class ShardedSwiftly:
             shmap(finish_local, in_specs=(t, t, t), out_specs=t)
         )
 
+        def finish_pair_local(acc_pair, foff0, fmask0):
+            acc = jax.lax.complex(acc_pair[0], acc_pair[1]).astype(cdtype)
+            return finish_local(acc, foff0, fmask0)
+
+        self._finish_pair = jax.jit(
+            shmap(
+                finish_pair_local,
+                in_specs=(P(None, TILE_AXIS), t, t),
+                out_specs=t,
+            ),
+            donate_argnums=(0,),
+        )
+
         # --- whole-stream program: prepare -> scan over columns (fused
         # forward+backward per column) -> finish, in ONE compiled
         # dispatch. Columns are an identical offset-traced program, so
@@ -624,8 +680,11 @@ class ShardedSwiftly:
             def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
                              foff1, foff1_r, fmask0, fmask1_r, cols):
                 BF_F = prepare_local(facets, foff0)
+                # the carry is an f32 (real, imag) pair: float scatters
+                # are the native TPU path, and complex scatters on a scan
+                # carry miscompile for some shapes
                 accum0 = _varying_zeros(
-                    (facets.shape[0], yN, yB), cdtype
+                    (2, facets.shape[0], yN, yB), rdtype
                 )
 
                 def body(acc, col):
@@ -634,14 +693,17 @@ class ShardedSwiftly:
                         BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
                         valid, mask0, mask1,
                     )
-                    acc = bwd_column_local_mm(
+                    acc = bwd_column_pair_mm(
                         sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
                         sg_off1, valid,
                     )
                     return acc, None
 
                 accum, _ = jax.lax.scan(body, accum0, cols)
-                return finish_local(accum, foff0, fmask0)
+                # finishing happens in a separate program: fusing the
+                # axis-0 finish into the same module as the scan
+                # miscompiles on some shapes (TPU kernel fault)
+                return accum
 
             def stream_fwd_local(facets, A0, A1, Fi_xM, foff0, foff1,
                                  cols):
@@ -665,20 +727,20 @@ class ShardedSwiftly:
                 # Gridding direction: consume [C, Bloc, xA, xA] subgrids
                 # into finished facets, one compiled dispatch.
                 accum0 = _varying_zeros(
-                    (fmask0.shape[0], yN, yB), cdtype
+                    (2, fmask0.shape[0], yN, yB), rdtype
                 )
 
                 def body(acc, col_and_sg):
                     col, sg = col_and_sg
                     off0, sg_off1, valid, _, _ = col
-                    acc = bwd_column_local_mm(
+                    acc = bwd_column_pair_mm(
                         sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
                         sg_off1, valid,
                     )
                     return acc, None
 
                 accum, _ = jax.lax.scan(body, accum0, (cols, sgs))
-                return finish_local(accum, foff0, fmask0)
+                return accum
 
             col_spec = (r, r, r, r, r)
             self._stream = jax.jit(
@@ -686,7 +748,7 @@ class ShardedSwiftly:
                     stream_local,
                     in_specs=(t, t, t, r, r, r, r, t, t, r, t, r,
                               col_spec),
-                    out_specs=t,
+                    out_specs=P(None, TILE_AXIS),
                 ),
                 donate_argnums=(0,),
             )
@@ -705,7 +767,7 @@ class ShardedSwiftly:
                     stream_bwd_local,
                     in_specs=(P(None, TILE_AXIS), r, r, r, t, r, t, r,
                               col_spec),
-                    out_specs=t,
+                    out_specs=P(None, TILE_AXIS),
                 ),
                 donate_argnums=(0,),
             )
@@ -715,7 +777,7 @@ class ShardedSwiftly:
                              fmask0, fmask1_r, cols):
                 BF_F = prepare_local(facets, foff0)
                 accum0 = _varying_zeros(
-                    (facets.shape[0], yN, yB), cdtype
+                    (2, facets.shape[0], yN, yB), rdtype
                 )
 
                 def body(acc, col):
@@ -724,21 +786,21 @@ class ShardedSwiftly:
                         BF_F, foff0, foff1, off0, sg_off1, valid, mask0,
                         mask1,
                     )
-                    acc = bwd_column_local(
+                    acc = bwd_column_pair(
                         sg, acc, foff0_r, foff1_r, fmask1_r, off0,
                         sg_off1, valid,
                     )
                     return acc, None
 
                 accum, _ = jax.lax.scan(body, accum0, cols)
-                return finish_local(accum, foff0, fmask0)
+                return accum
 
             col_spec = (r, r, r, r, r)
             self._stream = jax.jit(
                 shmap(
                     stream_local,
                     in_specs=(t, t, t, r, r, t, r, col_spec),
-                    out_specs=t,
+                    out_specs=P(None, TILE_AXIS),
                 ),
                 donate_argnums=(0,),
             )
@@ -936,7 +998,7 @@ class ShardedSwiftly:
                 "backward_stream requires engine_mode matmul/pallas"
             )
         cols = self._all_col_args()
-        return self._stream_bwd(
+        acc_pair = self._stream_bwd(
             subgrids,
             self._dev_c("E0", self._E0, repl=True),
             self._dev_c("E1", self._E1, repl=True),
@@ -947,11 +1009,14 @@ class ShardedSwiftly:
             self._dev(self._fmask1, repl=True),
             cols,
         )
+        return self._finish_pair(
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+        )
 
     def _run_stream(self, packed_facets):
         cols = self._all_col_args()
         if self._operator_mode:
-            return self._stream(
+            acc_pair = self._stream(
                 packed_facets,
                 self._dev_c("A0", self._A0),
                 self._dev_c("A1", self._A1),
@@ -966,13 +1031,17 @@ class ShardedSwiftly:
                 self._dev(self._fmask1, repl=True),
                 cols,
             )
-        return self._stream(
-            packed_facets,
-            self._dev(self._foff0),
-            self._dev(self._foff1),
-            self._dev(self._foff0, repl=True),
-            self._dev(self._foff1, repl=True),
-            self._dev(self._fmask0),
-            self._dev(self._fmask1, repl=True),
-            cols,
+        else:
+            acc_pair = self._stream(
+                packed_facets,
+                self._dev(self._foff0),
+                self._dev(self._foff1),
+                self._dev(self._foff0, repl=True),
+                self._dev(self._foff1, repl=True),
+                self._dev(self._fmask0),
+                self._dev(self._fmask1, repl=True),
+                cols,
+            )
+        return self._finish_pair(
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
         )
