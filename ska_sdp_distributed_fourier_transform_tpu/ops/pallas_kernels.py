@@ -141,17 +141,17 @@ def cmatmul(a, b, tile_m=256, tile_n=256, interpret=None):
 
 def _sandwich_kernel(a0r_ref, a0i_ref, xr_ref, xi_ref, a1r_ref, a1i_ref,
                      or_ref, oi_ref, acc_r, acc_i):
-    f = pl.program_id(1)
-    n_f = pl.num_programs(1)
+    f = pl.program_id(2)
+    n_f = pl.num_programs(2)
 
     @pl.when(f == 0)
     def _():
         acc_r[:] = jnp.zeros_like(acc_r)
         acc_i[:] = jnp.zeros_like(acc_i)
 
-    # T = A0_f @ X[b, f]      [xM, c] — stays in registers/VMEM
+    # T = A0_f[row block] @ X[b, f]   [TM, c] — stays in VMEM
     tr, ti = _karatsuba(a0r_ref[0], a0i_ref[0], xr_ref[0, 0], xi_ref[0, 0])
-    # S = T @ A1_f^T          [xM, xM]
+    # S = T @ A1_f^T                  [TM, xM]
     sr, si = _karatsuba(tr, ti, a1r_ref[0].T, a1i_ref[0].T)
     acc_r[:] += sr
     acc_i[:] += si
@@ -162,28 +162,52 @@ def _sandwich_kernel(a0r_ref, a0i_ref, xr_ref, xi_ref, a1r_ref, a1i_ref,
         oi_ref[0] = acc_i[:]
 
 
+def _sandwich_tile_m(xM, c):
+    """Row-block size keeping the working set inside VMEM (~16 MB/core).
+
+    Per grid step (f32 words): input blocks are double-buffered by the
+    pipeline — A0 block 2·TM·c, X 2·c², A1 2·xM·c, each ×2 — plus the
+    accumulator 2·TM·xM and the double-buffered output block 4·TM·xM.
+    """
+    # Calibrated against Mosaic's scoped-vmem accounting (which also
+    # stacks the kernel's bf16-split and intermediate temporaries):
+    # measured 18.94 MB at TM=256, c=512, xM=512.
+    budget = 15_500_000 // 4  # f32 words (model matches Mosaic within 2%)
+    fixed = 11 * (c * c + xM * c) // 2
+    tm = (budget - fixed) // max(9 * c + 6 * xM, 1)
+    tm = max(min(tm, xM), 8)
+    # largest power-of-two-ish divisor alignment
+    for cand in (xM, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= tm and xM % cand == 0:
+            return cand
+    return 8
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
     F, xM, c = a0r.shape
     B = xr.shape[0]
-    grid = (B, F)
+    TM = xM if interpret else _sandwich_tile_m(xM, c)
+    grid = (B, xM // TM, F)
     ms = pltpu.ANY if interpret else pltpu.VMEM
-    a_spec = pl.BlockSpec((1, xM, c), lambda b, f: (f, 0, 0),
+    a0_spec = pl.BlockSpec((1, TM, c), lambda b, m, f: (f, m, 0),
+                           memory_space=ms)
+    a1_spec = pl.BlockSpec((1, xM, c), lambda b, m, f: (f, 0, 0),
+                           memory_space=ms)
+    x_spec = pl.BlockSpec((1, 1, c, c), lambda b, m, f: (b, f, 0, 0),
                           memory_space=ms)
-    x_spec = pl.BlockSpec((1, 1, c, c), lambda b, f: (b, f, 0, 0),
-                          memory_space=ms)
-    o_spec = pl.BlockSpec((1, xM, xM), lambda b, f: (b, 0, 0),
+    o_spec = pl.BlockSpec((1, TM, xM), lambda b, m, f: (b, m, 0),
                           memory_space=ms)
     out_shape = [_sds((B, xM, xM), xr), _sds((B, xM, xM), xr)]
     return pl.pallas_call(
         _sandwich_kernel,
         grid=grid,
-        in_specs=[a_spec, a_spec, x_spec, x_spec, a_spec, a_spec],
+        in_specs=[a0_spec, a0_spec, x_spec, x_spec, a1_spec, a1_spec],
         out_specs=[o_spec, o_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((xM, xM), jnp.float32),
-            pltpu.VMEM((xM, xM), jnp.float32),
+            pltpu.VMEM((TM, xM), jnp.float32),
+            pltpu.VMEM((TM, xM), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * B * F * (xM * c * c + xM * xM * c),
@@ -192,7 +216,7 @@ def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(a0r, a0i, xr, xi, a1r, a1i)
@@ -222,5 +246,20 @@ def fused_sandwich(A0, X, A1, interpret=None):
     a0r, a0i = split(A0)
     xr, xi = split(X)
     a1r, a1i = split(A1)
+
+    F, xM, c = a0r.shape
+    if not interpret and _sandwich_tile_m(xM, c) < 32:
+        # Contribution size too large for the kernel's VMEM working set
+        # (X and A1 are held whole per grid step) — use the XLA einsum,
+        # which tiles every dimension.
+        out = jnp.einsum(
+            "fqk,bfkl,frl->bqr",
+            jax.lax.complex(a0r, a0i),
+            jax.lax.complex(xr, xi),
+            jax.lax.complex(a1r, a1i),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(jnp.complex64)
+
     outr, outi = _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret)
     return jax.lax.complex(outr, outi)
