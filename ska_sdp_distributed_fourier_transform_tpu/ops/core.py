@@ -18,7 +18,7 @@ pure, functional JAX ops designed for XLA:
 Two backends share this surface, mirroring the reference's
 ``SwiftlyCore`` (numpy) / ``SwiftlyCoreFunc`` (native) dual-backend design:
 :class:`SwiftlyCore` here is the jnp/XLA path; the fused Pallas/MXU operator
-path lives in :mod:`.matmul` and :mod:`.pallas_kernels`.
+path lives in :mod:`.operators` and :mod:`.pallas_kernels`.
 """
 
 from __future__ import annotations
