@@ -665,8 +665,7 @@ class ShardedSwiftly:
                 finish_pair_local,
                 in_specs=(P(None, TILE_AXIS), t, t),
                 out_specs=t,
-            ),
-            donate_argnums=(0,),
+            )
         )
 
         # --- whole-stream program: prepare -> scan over columns (fused
@@ -750,7 +749,6 @@ class ShardedSwiftly:
                               col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
-                donate_argnums=(0,),
             )
             self._stream_fwd = jax.jit(
                 shmap(
@@ -760,7 +758,6 @@ class ShardedSwiftly:
                     # the batch axis sharded
                     out_specs=P(None, TILE_AXIS),
                 ),
-                donate_argnums=(0,),
             )
             self._stream_bwd = jax.jit(
                 shmap(
@@ -769,7 +766,6 @@ class ShardedSwiftly:
                               col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
-                donate_argnums=(0,),
             )
         else:
 
@@ -802,7 +798,6 @@ class ShardedSwiftly:
                     in_specs=(t, t, t, r, r, t, r, col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
-                donate_argnums=(0,),
             )
 
     # ------------------------------------------------------------- driving
