@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cmatmul", "fused_sandwich"]
+__all__ = ["cmatmul", "fused_sandwich", "fused_double_sandwich"]
 
 
 def _sds(shape, ref):
@@ -262,4 +262,102 @@ def fused_sandwich(A0, X, A1, interpret=None):
         return out.astype(jnp.complex64)
 
     outr, outi = _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret)
+    return jax.lax.complex(outr, outi)
+
+
+# ---------------------------------------------------------------------------
+# Fused double sandwich: out[b, f] = E0[f] @ FS[b] @ E1[f]^T
+# ---------------------------------------------------------------------------
+
+
+def _dsandwich_kernel(e0r_ref, e0i_ref, fsr_ref, fsi_ref, e1r_ref,
+                      e1i_ref, or_ref, oi_ref):
+    # T = E0_f @ FS_b        [c, xM] — VMEM-resident
+    tr, ti = _karatsuba(e0r_ref[0], e0i_ref[0], fsr_ref[0], fsi_ref[0])
+    # out = T @ E1_f^T       [c, c]
+    sr, si = _karatsuba(tr, ti, e1r_ref[0].T, e1i_ref[0].T)
+    or_ref[0, 0] = sr
+    oi_ref[0, 0] = si
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret):
+    F, c, xM = e0r.shape
+    B = fsr.shape[0]
+    grid = (B, F)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    e_spec = pl.BlockSpec((1, c, xM), lambda b, f: (f, 0, 0),
+                          memory_space=ms)
+    fs_spec = pl.BlockSpec((1, xM, xM), lambda b, f: (b, 0, 0),
+                           memory_space=ms)
+    o_spec = pl.BlockSpec((1, 1, c, c), lambda b, f: (b, f, 0, 0),
+                          memory_space=ms)
+    out_shape = [_sds((B, F, c, c), fsr), _sds((B, F, c, c), fsr)]
+    return pl.pallas_call(
+        _dsandwich_kernel,
+        grid=grid,
+        in_specs=[e_spec, e_spec, fs_spec, fs_spec, e_spec, e_spec],
+        out_specs=[o_spec, o_spec],
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * F * (c * xM * xM + c * c * xM),
+            bytes_accessed=4 * (4 * F * c * xM + 2 * B * xM * xM
+                                + 2 * B * F * c * c),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(e0r, e0i, fsr, fsi, e1r, e1i)
+
+
+def _dsandwich_fits(xM, c):
+    """VMEM check (same calibrated model as the forward kernel): per
+    step FS pair (double-buffered), two E pairs (double-buffered), the
+    [c, xM] intermediate + temporaries, and the output block."""
+    words = (
+        4 * xM * xM          # FS pair, double-buffered
+        + 8 * c * xM         # E0+E1 pairs, double-buffered
+        + 5 * c * xM         # T + bf16 splits
+        + 4 * c * c          # out block pair, double-buffered
+    )
+    return words <= 15_500_000 // 4
+
+
+def fused_double_sandwich(E0, FS, E1, interpret=None):
+    """``out[b, f] = E0[f] @ FS[b] @ E1[f]^T`` in one Pallas kernel.
+
+    The backward engine's extraction (extract_from_subgrid along both
+    axes for every facet): the [c, xM] intermediate never leaves VMEM.
+    Falls back to an XLA einsum when the working set exceeds VMEM.
+
+    :param E0: complex [F, c, xM] or (real, imag) float tuple
+    :param FS: complex [B, xM, xM] or (real, imag) float tuple
+    :param E1: complex [F, c, xM] or (real, imag) float tuple
+    :return: complex64 [B, F, c, c]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    def split(z):
+        if isinstance(z, tuple):
+            return z
+        return (jnp.real(z).astype(jnp.float32),
+                jnp.imag(z).astype(jnp.float32))
+
+    e0r, e0i = split(E0)
+    fsr, fsi = split(FS)
+    e1r, e1i = split(E1)
+    F, c, xM = e0r.shape
+    if not interpret and not _dsandwich_fits(xM, c):
+        out = jnp.einsum(
+            "fki,bij,flj->bfkl",
+            jax.lax.complex(e0r, e0i),
+            jax.lax.complex(fsr, fsi),
+            jax.lax.complex(e1r, e1i),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(jnp.complex64)
+    outr, outi = _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret)
     return jax.lax.complex(outr, outi)

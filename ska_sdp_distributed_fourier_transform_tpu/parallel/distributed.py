@@ -443,9 +443,16 @@ class ShardedSwiftly:
                 "iq,bqr,bjr->bij", P0, sgv, P1, precision=prec
             )  # [Bloc, xM, xM]
 
-            NAF_NAF = jnp.einsum(
-                "fki,bij,flj->bfkl", E0, FS, E1, precision=prec
-            )  # [Bloc, F_pad, c, c]
+            if use_pallas_fwd:
+                from ..ops.pallas_kernels import fused_double_sandwich
+
+                NAF_NAF = fused_double_sandwich(E0, FS, E1).astype(
+                    cdtype
+                )  # [Bloc, F_pad, c, c]
+            else:
+                NAF_NAF = jnp.einsum(
+                    "fki,bij,flj->bfkl", E0, FS, E1, precision=prec
+                )  # [Bloc, F_pad, c, c]
 
             x = _all_to_all_c(
                 NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
