@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--swift_config", default="16k[1]-n8k-512")
     ap.add_argument("--source_number", type=int, default=8)
     ap.add_argument("--engine_mode", default="matmul",
-                    choices=["matmul", "fft"])
+                    choices=["matmul", "pallas", "fft"])
     ap.add_argument("--checkpoint", default=None,
                     help="stream-state checkpoint path (resume-safe)")
     ap.add_argument("--checkpoint_every", type=int, default=8)
@@ -94,24 +94,23 @@ def main():
     packed = engine.pack_facets(facets)
 
     t0 = time.perf_counter()
-    BF_F = engine.prepare_facets(packed)
+    n_subgrids = sum(len(c) for c in engine.plan.configs)
     if args.checkpoint:
+        # resumable: per-column programs, checkpointed accumulator
+        BF_F = engine.prepare_facets(packed)
         ckpt = StreamCheckpointer(engine, args.checkpoint,
                                   every=args.checkpoint_every)
         accum, start = ckpt.resume()
         if pid == 0 and start:
             log.info("resuming at column %d", start)
-    else:
-        ckpt, accum, start = None, engine.zero_accumulator(), 0
-
-    n_subgrids = 0
-    for ci in range(start, engine.plan.n_columns):
-        sg = engine.forward_column(BF_F, ci)
-        accum = engine.backward_column(sg, ci, accum)
-        n_subgrids += len(engine.plan.configs[ci])
-        if ckpt is not None:
+        for ci in range(start, engine.plan.n_columns):
+            sg = engine.forward_column(BF_F, ci)
+            accum = engine.backward_column(sg, ci, accum)
             accum = ckpt.step(accum, ci)
-    facets_out = engine.finish_facets(accum)
+        facets_out = engine.finish_facets(accum)
+    else:
+        # fastest path: the whole stream as one compiled program
+        facets_out, _ = engine.roundtrip(packed)
     jax.block_until_ready(facets_out)
     elapsed = time.perf_counter() - t0
 
