@@ -61,7 +61,7 @@ def build_device_facets(engine, facet_cfgs, sources, N):
 
 
 def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
-                  precision="high"):
+                  precision="high", direction="roundtrip"):
     """Timed full round trip on the default (TPU) backend in complex64."""
     import jax
     import jax.numpy as jnp
@@ -89,6 +89,34 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
     )
 
     full_cover = C == engine.plan.n_columns
+
+    if direction in ("forward", "backward") and full_cover:
+        n_subgrids = sum(len(c) for c in engine.plan.configs)
+
+        def run_fwd():
+            packed = build_device_facets(engine, facet_cfgs, sources, N)
+            sgs = engine.forward_stream(packed)
+            jax.block_until_ready(sgs)
+            return sgs
+
+        if direction == "forward":
+            run = run_fwd
+        else:
+            sgs_in = run_fwd()
+
+            def run():
+                out = engine.backward_stream(sgs_in)
+                jax.block_until_ready(out)
+                return out
+
+        out = run()  # compile
+        del out
+        log(f"compiled ({direction}-only)")
+        t0 = time.perf_counter()
+        out = run()
+        elapsed = time.perf_counter() - t0
+        del out
+        return n_subgrids / elapsed, elapsed, n_subgrids, None
 
     def stream():
         packed = build_device_facets(engine, facet_cfgs, sources, N)
@@ -235,6 +263,10 @@ def main():
                     choices=["matmul", "pallas", "fft"],
                     help="matmul: contribution ops as MXU operator "
                     "contractions; fft: gather+FFT formulation")
+    ap.add_argument("--direction", default="roundtrip",
+                    choices=["roundtrip", "forward", "backward"],
+                    help="roundtrip: facets->subgrids->facets; forward: "
+                    "degrid only; backward: grid only")
     ap.add_argument("--precision", default="high",
                     choices=["default", "high", "highest"],
                     help="MXU precision for the operator contractions")
@@ -258,7 +290,8 @@ def main():
     ]
 
     sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
-        params, sources, args.columns, args.engine_mode, args.precision
+        params, sources, args.columns, args.engine_mode, args.precision,
+        args.direction,
     )
     log(
         f"TPU: {n_subgrids} subgrids in {elapsed:.2f}s = {sgps:.2f} sg/s; "
@@ -275,7 +308,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"roundtrip_subgrids_per_s[{args.swift_config}]"
+                    f"{args.direction}_subgrids_per_s"
+                    f"[{args.swift_config}]"
                 ),
                 "value": round(sgps, 3),
                 "unit": "subgrids/s",
