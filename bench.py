@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -289,10 +290,19 @@ def main():
         for _ in range(args.source_number)
     ]
 
-    sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
-        params, sources, args.columns, args.engine_mode, args.precision,
-        args.direction,
-    )
+    try:
+        sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
+            params, sources, args.columns, args.engine_mode,
+            args.precision, args.direction,
+        )
+    except Exception as e:
+        # Tunnelled TPU attachments fail transiently and can wedge the
+        # in-process backend afterwards — retry once in a fresh process.
+        if os.environ.get("SWIFTLY_BENCH_RETRY") == "1":
+            raise
+        log(f"first attempt failed ({e}); retrying in a fresh process")
+        env = dict(os.environ, SWIFTLY_BENCH_RETRY="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
     log(
         f"TPU: {n_subgrids} subgrids in {elapsed:.2f}s = {sgps:.2f} sg/s; "
         f"round-trip RMSE {rmse}"
