@@ -14,6 +14,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -50,15 +51,16 @@ def build_device_facets(engine, facet_cfgs, sources, N):
     m0 = np.asarray(engine._fmask0, np.float32)
     m1 = np.asarray(engine._fmask1, np.float32)
 
-    @jax.jit
+    # out_shardings places the result directly: an after-the-fact
+    # device_put re-shards through the attachment (~0.7 s at 16k scale)
+    @functools.partial(jax.jit, out_shardings=engine._shard)
     def build(fs, i0s, i1s, vals, m0, m1):
         f = jnp.zeros((engine.F_pad, yB, yB), jnp.float32)
         f = f.at[fs, i0s, i1s].add(vals)
         f = f * m0[:, :, jnp.newaxis] * m1[:, jnp.newaxis, :]
         return f.astype(engine.core.dtype)
 
-    packed = build(fs, i0s, i1s, vals, m0, m1)
-    return jax.device_put(packed, engine._shard)
+    return build(fs, i0s, i1s, vals, m0, m1)
 
 
 def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
@@ -94,9 +96,11 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
     if direction in ("forward", "backward") and full_cover:
         n_subgrids = sum(len(c) for c in engine.plan.configs)
 
+        packed_in = build_device_facets(engine, facet_cfgs, sources, N)
+        jax.block_until_ready(packed_in)
+
         def run_fwd():
-            packed = build_device_facets(engine, facet_cfgs, sources, N)
-            sgs = engine.forward_stream(packed)
+            sgs = engine.forward_stream(packed_in)
             jax.block_until_ready(sgs)
             return sgs
 
@@ -119,8 +123,12 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
         del out
         return n_subgrids / elapsed, elapsed, n_subgrids, None
 
+    # Built once: nothing in the stream donates or mutates it.
+    packed_in = build_device_facets(engine, facet_cfgs, sources, N)
+    jax.block_until_ready(packed_in)
+
     def stream():
-        packed = build_device_facets(engine, facet_cfgs, sources, N)
+        packed = packed_in
         if full_cover:
             # Whole stream (prepare -> scan over fused fwd+bwd columns
             # -> finish) as ONE compiled program: no per-column dispatch.
@@ -132,7 +140,6 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
         # is freed right after prepare, BF_F before finish — keeps peak
         # HBM well inside a single v5e for the 16k configs.
         BF_F = engine.prepare_facets(packed)
-        del packed
         accum = engine.zero_accumulator()
         n_subgrids = 0
         for ci in range(C):
@@ -162,8 +169,7 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
             device_rmse,
         )
 
-        packed = build_device_facets(engine, facet_cfgs, sources, N)
-        rmse = float(device_rmse(facets_out, packed))
+        rmse = float(device_rmse(facets_out, packed_in))
     return n_subgrids / elapsed, elapsed, n_subgrids, rmse
 
 

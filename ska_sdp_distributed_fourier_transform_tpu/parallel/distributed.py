@@ -168,7 +168,7 @@ class ShardedSwiftly:
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high",
-                 process_subgrid=None):
+                 process_subgrid=None, columns_per_step=1):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -183,6 +183,10 @@ class ShardedSwiftly:
         # fn(sg[Bloc, xA, xA], off0, off1[Bloc]) -> [Bloc, xA, xA].
         # Traced into the compiled stream, so it must be functional.
         self.process_subgrid = process_subgrid
+        # Fused-stream scan granularity: >1 lets XLA interleave one
+        # column's FFT chain (VPU) with another's contractions (MXU)
+        # within a scan step (operator engine modes only).
+        self.columns_per_step = int(columns_per_step)
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -693,16 +697,38 @@ class ShardedSwiftly:
                     (2, facets.shape[0], yN, yB), rdtype
                 )
 
+                k = self.columns_per_step
+
                 def body(acc, col):
-                    off0, sg_off1, valid, mask0, mask1 = col
-                    sg = fwd_column_local_mm(
-                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
-                        valid, mask0, mask1,
-                    )
-                    acc = bwd_column_pair_mm(
-                        sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
-                        sg_off1, valid,
-                    )
+                    if k == 1:
+                        off0, sg_off1, valid, mask0, mask1 = col
+                        sg = fwd_column_local_mm(
+                            BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                            valid, mask0, mask1,
+                        )
+                        acc = bwd_column_pair_mm(
+                            sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
+                            off0, sg_off1, valid,
+                        )
+                        return acc, None
+                    # k columns per step: the forward passes are
+                    # independent, so vmapping them lets XLA interleave
+                    # one column's FFT chain (VPU) with another's
+                    # contraction (MXU); the backward folds commute
+                    # (disjoint or additive scatter rows) and run
+                    # sequentially on the carry.
+                    sgs = jax.vmap(
+                        lambda off0, sg_off1, valid, mask0, mask1:
+                        fwd_column_local_mm(
+                            BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                            valid, mask0, mask1,
+                        )
+                    )(*col)
+                    for i in range(k):
+                        acc = bwd_column_pair_mm(
+                            sgs[i], acc, E0, E1, F_xM, foff1_r,
+                            fmask1_r, col[0][i], col[1][i], col[2][i],
+                        )
                     return acc, None
 
                 accum, _ = jax.lax.scan(body, accum0, cols)
@@ -939,16 +965,31 @@ class ShardedSwiftly:
             MNAF_BMNAF, self._dev(self._foff0), self._dev(self._fmask0)
         )
 
-    def _all_col_args(self):
+    def _all_col_args(self, group=1):
         plan = self.plan
         rd = self.core.real_dtype
-        return (
-            jnp.asarray(plan.off0, jnp.int32),
-            jnp.asarray(plan.sg_off1, jnp.int32),
-            jnp.asarray(plan.valid, rd),
-            jnp.asarray(plan.mask0, rd),
-            jnp.asarray(plan.mask1, rd),
-        )
+        arrs = [
+            np.asarray(plan.off0, np.int32),
+            np.asarray(plan.sg_off1, np.int32),
+            np.asarray(plan.valid, rd),
+            np.asarray(plan.mask0, rd),
+            np.asarray(plan.mask1, rd),
+        ]
+        if group > 1:
+            C = len(plan.off0)
+            pad = (-C) % group
+            out = []
+            for a in arrs:
+                if pad:
+                    tail = np.repeat(a[-1:], pad, axis=0)
+                    a = np.concatenate([a, tail], axis=0)
+                out.append(a.reshape((len(a) // group, group)
+                                     + a.shape[1:]))
+            arrs = out
+            # padded dummy columns contribute nothing: valid = 0
+            if pad:
+                arrs[2][-1, -pad:] = 0
+        return tuple(jnp.asarray(a) for a in arrs)
 
     def roundtrip(self, packed_facets, fused=True):
         """Full streaming round trip: facets -> every subgrid -> facets.
@@ -975,7 +1016,7 @@ class ShardedSwiftly:
     def forward_stream(self, packed_facets):
         """Degridding direction in one dispatch: facets -> every subgrid
         of every column, returned as ``[C, B, xA, xA]`` (batch-sharded).
-        Donates ``packed_facets``. Operator engine modes only."""
+        Operator engine modes only."""
         if not self._operator_mode:
             raise NotImplementedError(
                 "forward_stream requires engine_mode matmul/pallas"
@@ -993,8 +1034,7 @@ class ShardedSwiftly:
 
     def backward_stream(self, subgrids):
         """Gridding direction in one dispatch: ``[C, B, xA, xA]``
-        subgrids -> finished facets. Donates ``subgrids``. Operator
-        engine modes only."""
+        subgrids -> finished facets. Operator engine modes only."""
         if not self._operator_mode:
             raise NotImplementedError(
                 "backward_stream requires engine_mode matmul/pallas"
@@ -1016,7 +1056,9 @@ class ShardedSwiftly:
         )
 
     def _run_stream(self, packed_facets):
-        cols = self._all_col_args()
+        cols = self._all_col_args(
+            self.columns_per_step if self._operator_mode else 1
+        )
         if self._operator_mode:
             acc_pair = self._stream(
                 packed_facets,
