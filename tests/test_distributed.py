@@ -171,3 +171,31 @@ def test_forward_backward_streams():
     out = engine.backward_stream(sgs)
     for cfg, approx in zip(facet_configs, np.asarray(out)):
         assert check_facet(config.image_size, cfg, approx, SOURCES) < 3e-10
+
+
+def test_fused_stream_matches_per_column():
+    """The whole-stream scan program is bit-identical to driving the
+    per-column programs from Python."""
+    _, engine, _, facets = build_engine(4, "matmul")
+    packed = engine.pack_facets(facets)
+    a, na = engine.roundtrip(packed, fused=True)
+    b, nb = engine.roundtrip(packed, fused=False)
+    assert na == nb
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_columns_per_step_equivalence():
+    """Grouping k columns per scan step (incl. dummy-column padding when
+    k does not divide the column count) changes nothing numerically."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+    outs = {}
+    for k in (1, 2, 3):  # 5 columns: k=2,3 exercise padding
+        eng = ShardedSwiftly(config._core, fcs, sgs, mesh,
+                             columns_per_step=k)
+        outs[k], _ = eng.roundtrip(eng.pack_facets(facets))
+    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[2]))
+    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[3]))
