@@ -155,15 +155,25 @@ class ShardedSwiftly:
     :param engine_mode: ``"matmul"`` (default) applies the
         contribution-rate ops as precomputed dense operators — batched
         complex matmuls on the MXU, with window/pad/roll/FFT folded into
-        the operator (see :mod:`..ops.operators`); ``"fft"`` uses the
+        the operator (see :mod:`..ops.operators`); ``"pallas"`` is the
+        operator engine with both hot contractions in fused Pallas
+        kernels (:mod:`..ops.pallas_kernels`) — the fastest mode on
+        real TPU hardware for production sizes; ``"fft"`` uses the
         gather+FFT formulation (:mod:`..ops.core`). Identical math —
-        ``"fft"`` is the accuracy reference, ``"matmul"`` the TPU fast
-        path.
+        ``"fft"`` is the accuracy reference.
     :param precision: MXU precision for the operator contractions —
         ``"high"`` (default; 3-pass bf16 ~ f32, round-trip RMSE
         ~3.3e-7 c64), ``"highest"`` (6-pass, no RMSE gain measured,
         ~12% slower), ``"default"`` (1-pass bf16, ~10% faster,
         RMSE ~1.4e-5).
+    :param process_subgrid: optional jax-traceable hook
+        ``fn(sg[Bloc, xA, xA], off0, off1[Bloc]) -> [Bloc, xA, xA]``
+        applied to every produced subgrid batch (the gridding/
+        degridding plug-in point).
+    :param columns_per_step: columns per fused-stream scan step
+        (operator modes); >1 vmaps the forward passes — measured
+        neutral-to-slower on v5e, kept as a tuning knob for other
+        hardware.
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
