@@ -3,6 +3,7 @@ processing functions (JAX backend), the native C++ backend, and the MXU
 operator-algebra backend."""
 
 from .core import SwiftlyCore, check_swiftly_params
+from .fft_mxu import factor_pair, fft_mxu
 from .native import SwiftlyCoreFunc, native_available
 from .primitives import (
     broadcast,
@@ -19,6 +20,8 @@ from .pswf import make_window_constants, pswf_values
 
 __all__ = [
     "SwiftlyCore",
+    "fft_mxu",
+    "factor_pair",
     "SwiftlyCoreFunc",
     "native_available",
     "check_swiftly_params",
