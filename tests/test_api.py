@@ -164,3 +164,32 @@ def test_task_queue_backpressure():
     done = q.wait_all_done()
     assert len(done) <= 4
     assert q.task_queue == []
+
+
+@pytest.mark.parametrize(
+    "config_key",
+    ["1k[1]-n512-256", "2k[1]-n1k-512", "1k[1]-n512-512"],
+)
+def test_catalogue_families_round_trip(config_key):
+    """End-to-end round trip across catalogue families (different W,
+    padding ratios and nfacet counts) meets the reference bound."""
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    params = SWIFT_CONFIGS[config_key]
+    config = SwiftlyConfig(**params)
+    sources = [(1, 1, 0)]
+    facet_configs = make_full_facet_cover(config)
+    subgrid_configs = make_full_subgrid_cover(config)
+    facet_tasks = [
+        (cfg, make_facet(config.image_size, cfg, sources))
+        for cfg in facet_configs
+    ]
+    fwd = SwiftlyForward(config, facet_tasks, 2, 50)
+    bwd = SwiftlyBackward(config, facet_configs, 2, 50)
+    for sg_cfg in subgrid_configs:
+        bwd.add_new_subgrid_task(sg_cfg, fwd.get_subgrid_task(sg_cfg))
+    for cfg, approx in zip(facet_configs, bwd.finish()):
+        rmse = check_facet(config.image_size, cfg, approx, sources)
+        assert rmse < 3e-10, f"{config_key} {cfg}: {rmse}"

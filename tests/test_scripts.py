@@ -57,3 +57,18 @@ def test_flag_file_support(tmp_path):
     )
     res = run_script("demo_api.py", f"@{flagfile}")
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_error_map_script(tmp_path):
+    res = run_script(
+        "error_map.py", "--swift_config", "1k[1]-n512-256",
+        "--source_number", "2", "--platform", "cpu",
+        "--out_dir", str(tmp_path / "maps"),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "edge-amplification" in res.stderr + res.stdout
+    import numpy
+    maps = sorted((tmp_path / "maps").glob("error_map_f*.npy"))
+    assert len(maps) == 9
+    emap = numpy.load(maps[0])
+    assert emap.max() < 1e-7  # scheme error level, not garbage
