@@ -64,7 +64,8 @@ def build_device_facets(engine, facet_cfgs, sources, N):
 
 
 def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
-                  precision="high", direction="roundtrip"):
+                  precision="high", direction="roundtrip",
+                  fft_impl="mxu"):
     """Timed full round trip on the default (TPU) backend in complex64."""
     import jax
     import jax.numpy as jnp
@@ -84,7 +85,8 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
     sg_cfgs = make_full_subgrid_cover(config)
     mesh = make_tile_mesh()
     engine = ShardedSwiftly(config._core, facet_cfgs, sg_cfgs, mesh,
-                            engine_mode=engine_mode, precision=precision)
+                            engine_mode=engine_mode, precision=precision,
+                            fft_impl=fft_impl)
     N = config.image_size
 
     C = engine.plan.n_columns if n_columns is None else min(
@@ -270,6 +272,9 @@ def main():
                     choices=["matmul", "pallas", "fft"],
                     help="matmul: contribution ops as MXU operator "
                     "contractions; fft: gather+FFT formulation")
+    ap.add_argument("--fft_impl", default="mxu", choices=["mxu", "xla"],
+                    help="yN-scale facet transforms: four-step MXU "
+                    "factor matmuls or the XLA FFT")
     ap.add_argument("--direction", default="roundtrip",
                     choices=["roundtrip", "forward", "backward"],
                     help="roundtrip: facets->subgrids->facets; forward: "
@@ -299,7 +304,7 @@ def main():
     try:
         sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
             params, sources, args.columns, args.engine_mode,
-            args.precision, args.direction,
+            args.precision, args.direction, args.fft_impl,
         )
     except Exception as e:
         # Tunnelled TPU attachments fail transiently and can wedge the

@@ -116,6 +116,29 @@ def prepare_facet_op(facet, facet_off, axis, Fb, yN_size):
     return ifft(BF, axis) * broadcast(phase, BF.ndim, axis)
 
 
+def prepare_facet_mxu(facet, facet_off, axis, Fb, yN_size):
+    """:func:`prepare_facet_op` with the yN-scale inverse FFT on the MXU
+    (four-step factor matmuls, :mod:`.fft_mxu`) instead of the XLA FFT.
+
+    Mathematically identical; on TPU it sidesteps the layout copies XLA's
+    FFT decomposition inserts around non-last-axis transforms. The target
+    axis is moved last for the transform and moved back.
+    """
+    from .fft_mxu import fft_mxu
+
+    facet_size = facet.shape[axis]
+    fb = extract_mid(Fb, facet_size, 0)
+    BF = pad_mid(facet * broadcast(fb, facet.ndim, axis), yN_size, axis)
+    last = facet.ndim - 1
+    if axis != last:
+        BF = jnp.moveaxis(BF, axis, last)
+    out = fft_mxu(BF, inverse=True)
+    if axis != last:
+        out = jnp.moveaxis(out, last, axis)
+    phase = _phase(facet_off, yN_size, +1, out.dtype)
+    return out * broadcast(phase, out.ndim, axis)
+
+
 def extract_from_facet_fn(prep_facet, subgrid_off, axis, N, yN_size,
                           xM_yN_size):
     """BF(yN) -> NMBF(xM_yN): compact contribution extraction.
@@ -202,6 +225,27 @@ def finish_facet_fn(MiNjSi_sum, facet_off, facet_size, axis, Fb):
     Reference: core.py:452-484.
     """
     g = fft(MiNjSi_sum, axis)
+    win = _wrap_take(
+        g,
+        g.shape[axis] // 2 - facet_size // 2 + facet_off,
+        facet_size,
+        axis,
+    )
+    return broadcast(extract_mid(Fb, facet_size, 0), win.ndim, axis) * win
+
+
+def finish_facet_mxu(MiNjSi_sum, facet_off, facet_size, axis, Fb):
+    """:func:`finish_facet_fn` with the yN-scale FFT on the MXU
+    (four-step factor matmuls)."""
+    from .fft_mxu import fft_mxu
+
+    last = MiNjSi_sum.ndim - 1
+    x = MiNjSi_sum
+    if axis != last:
+        x = jnp.moveaxis(x, axis, last)
+    g = fft_mxu(x)
+    if axis != last:
+        g = jnp.moveaxis(g, last, axis)
     win = _wrap_take(
         g,
         g.shape[axis] // 2 - facet_size // 2 + facet_off,

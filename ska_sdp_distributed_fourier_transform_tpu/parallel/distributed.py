@@ -45,7 +45,9 @@ from ..ops.core import (
     extract_from_facet_fn,
     extract_from_subgrid_fn,
     finish_facet_fn,
+    finish_facet_mxu,
     finish_subgrid_fn,
+    prepare_facet_mxu,
     prepare_facet_op,
     prepare_subgrid_fn,
 )
@@ -178,7 +180,8 @@ class ShardedSwiftly:
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high",
-                 process_subgrid=None, columns_per_step=1):
+                 process_subgrid=None, columns_per_step=1,
+                 fft_impl="mxu"):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -197,6 +200,13 @@ class ShardedSwiftly:
         # column's FFT chain (VPU) with another's contractions (MXU)
         # within a scan step (operator engine modes only).
         self.columns_per_step = int(columns_per_step)
+        # yN-scale facet transforms: "mxu" (default) uses the four-step
+        # factor-matmul FFT (ops.fft_mxu) — +23% end-to-end on v5e by
+        # sidestepping the layout copies XLA inserts around FFTs;
+        # "xla" uses the XLA FFT (identical math).
+        if fft_impl not in ("xla", "mxu"):
+            raise ValueError(f"Unknown fft_impl: {fft_impl}")
+        self.fft_impl = fft_impl
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -324,11 +334,17 @@ class ShardedSwiftly:
         def prepare_local(facets, foff0):
             # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
             return jax.vmap(
-                lambda f, o0: prepare_facet_op(f, o0, 0, Fb, yN)
+                lambda f, o0: prep_facet(f, o0, 0, Fb, yN)
             )(facets, foff0)
 
         prec = self.precision
         use_pallas_fwd = self.engine_mode == "pallas"
+        if self.fft_impl == "mxu":
+            prep_facet = prepare_facet_mxu
+            fin_facet = finish_facet_mxu
+        else:
+            prep_facet = prepare_facet_op
+            fin_facet = finish_facet_fn
 
         def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
                                 valid, mask0, mask1):
@@ -338,7 +354,7 @@ class ShardedSwiftly:
             # the inverse-DFT matrix.
             def col_one(bf, o1):
                 nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                return prepare_facet_op(nm, o1, 1, Fb, yN)
+                return prep_facet(nm, o1, 1, Fb, yN)
 
             NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
@@ -392,7 +408,7 @@ class ShardedSwiftly:
             # reference's forward LRU amortises (api_helper extract_column).
             def col_one(bf, o1):
                 nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                return prepare_facet_op(nm, o1, 1, Fb, yN)
+                return prep_facet(nm, o1, 1, Fb, yN)
 
             NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
@@ -485,7 +501,7 @@ class ShardedSwiftly:
             NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
 
             NAF_BMNAF = jax.vmap(
-                lambda a, o1f: finish_facet_fn(a, o1f, yB, 1, Fb)
+                lambda a, o1f: fin_facet(a, o1f, yB, 1, Fb)
             )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
             NAF_BMNAF = NAF_BMNAF * _my(
                 fmask1, d, NAF_MNAF.shape[0]
@@ -574,7 +590,7 @@ class ShardedSwiftly:
             # accumulate_facet: finish the column along axis 1 and fold it
             # into the facet accumulator.
             NAF_BMNAF = jax.vmap(
-                lambda a, o1f: finish_facet_fn(a, o1f, yB, 1, Fb)
+                lambda a, o1f: fin_facet(a, o1f, yB, 1, Fb)
             )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
             NAF_BMNAF = NAF_BMNAF * _my(
                 fmask1, d, NAF_MNAF.shape[0]
@@ -618,7 +634,7 @@ class ShardedSwiftly:
 
         def finish_local(MNAF_BMNAF, foff0, fmask0):
             out = jax.vmap(
-                lambda a, o0: finish_facet_fn(a, o0, yB, 0, Fb)
+                lambda a, o0: fin_facet(a, o0, yB, 0, Fb)
             )(MNAF_BMNAF, foff0)
             return out * fmask0[:, :, jnp.newaxis]
 
