@@ -31,8 +31,9 @@ def main():
     ap = argparse.ArgumentParser(fromfile_prefix_chars="@")
     ap.add_argument("--swift_config", default="16k[1]-n8k-512")
     ap.add_argument("--source_number", type=int, default=8)
-    ap.add_argument("--engine_mode", default="matmul",
+    ap.add_argument("--engine_mode", default="pallas",
                     choices=["matmul", "pallas", "fft"])
+    ap.add_argument("--fft_impl", default="mxu", choices=["mxu", "xla"])
     ap.add_argument("--checkpoint", default=None,
                     help="stream-state checkpoint path (resume-safe)")
     ap.add_argument("--checkpoint_every", type=int, default=8)
@@ -87,7 +88,7 @@ def main():
     sg_cfgs = make_full_subgrid_cover(config)
     engine = ShardedSwiftly(
         config._core, facet_cfgs, sg_cfgs, make_tile_mesh(),
-        engine_mode=args.engine_mode,
+        engine_mode=args.engine_mode, fft_impl=args.fft_impl,
     )
 
     facets = [make_facet(N, cfg, sources) for cfg in facet_cfgs]

@@ -96,7 +96,7 @@ def demo_api(queue_size, fundamental_params, lru_forward, lru_backward,
 
 
 def demo_sharded(fundamental_params, sources, engine_mode, transfer_info,
-                 config_key):
+                 config_key, fft_impl="mxu"):
     """Same round trip on the dense sharded engine."""
     import jax
 
@@ -117,7 +117,7 @@ def demo_sharded(fundamental_params, sources, engine_mode, transfer_info,
     sg_cfgs = make_full_subgrid_cover(swiftlyconfig)
     engine = ShardedSwiftly(
         swiftlyconfig._core, facet_cfgs, sg_cfgs, make_tile_mesh(),
-        engine_mode=engine_mode,
+        engine_mode=engine_mode, fft_impl=fft_impl,
     )
     facets = [
         make_facet(swiftlyconfig.image_size, cfg, sources)
@@ -188,7 +188,7 @@ def main(args):
             if args.sharded:
                 n_subgrids, errors = demo_sharded(
                     params, sources, args.engine_mode, args.transfer_info,
-                    key,
+                    key, args.fft_impl,
                 )
             else:
                 n_subgrids, errors = demo_api(

@@ -115,6 +115,14 @@ def cli_parser():
         help="Sharded-engine compute formulation",
     )
     parser.add_argument(
+        "--fft_impl",
+        type=str,
+        default="mxu",
+        choices=["mxu", "xla"],
+        help="yN-scale facet transforms in the sharded engine: four-step "
+        "MXU factor matmuls (default) or the XLA FFT",
+    )
+    parser.add_argument(
         "--platform",
         type=str,
         default="auto",

@@ -199,3 +199,20 @@ def test_columns_per_step_equivalence():
         outs[k], _ = eng.roundtrip(eng.pack_facets(facets))
     np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[2]))
     np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[3]))
+
+
+def test_fft_impl_equivalence():
+    """The MXU four-step facet transforms (engine default) match the XLA
+    FFT path to rounding."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+    outs = {}
+    for impl in ("xla", "mxu"):
+        eng = ShardedSwiftly(config._core, fcs, sgs, mesh, fft_impl=impl)
+        outs[impl], _ = eng.roundtrip(eng.pack_facets(facets))
+    np.testing.assert_allclose(
+        np.asarray(outs["mxu"]), np.asarray(outs["xla"]), atol=1e-10
+    )
