@@ -151,8 +151,9 @@ def _sandwich_kernel(a0r_ref, a0i_ref, xr_ref, xi_ref, a1r_ref, a1i_ref,
 
     # T = A0_f[row block] @ X[b, f]   [TM, c] — stays in VMEM
     tr, ti = _karatsuba(a0r_ref[0], a0i_ref[0], xr_ref[0, 0], xi_ref[0, 0])
-    # S = T @ A1_f^T                  [TM, xM]
-    sr, si = _karatsuba(tr, ti, a1r_ref[0].T, a1i_ref[0].T)
+    # S = T @ A1t_f                   [TM, xM] (A1 arrives pre-transposed
+    # [F, c, xM]: in-kernel transposes are slow sublane shuffles)
+    sr, si = _karatsuba(tr, ti, a1r_ref[0], a1i_ref[0])
     acc_r[:] += sr
     acc_i[:] += si
 
@@ -185,6 +186,7 @@ def _sandwich_tile_m(xM, c):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
+    # a1r/a1i arrive pre-transposed: [F, c, xM]
     F, xM, c = a0r.shape
     B = xr.shape[0]
     TM = xM if interpret else _sandwich_tile_m(xM, c)
@@ -192,7 +194,7 @@ def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
     ms = pltpu.ANY if interpret else pltpu.VMEM
     a0_spec = pl.BlockSpec((1, TM, c), lambda b, m, f: (f, m, 0),
                            memory_space=ms)
-    a1_spec = pl.BlockSpec((1, xM, c), lambda b, m, f: (f, 0, 0),
+    a1_spec = pl.BlockSpec((1, c, xM), lambda b, m, f: (f, 0, 0),
                            memory_space=ms)
     x_spec = pl.BlockSpec((1, 1, c, c), lambda b, m, f: (b, f, 0, 0),
                           memory_space=ms)
@@ -246,6 +248,8 @@ def fused_sandwich(A0, X, A1, interpret=None):
     a0r, a0i = split(A0)
     xr, xi = split(X)
     a1r, a1i = split(A1)
+    a1r = jnp.swapaxes(a1r, -1, -2)  # [F, c, xM] — kernel wants A1^T
+    a1i = jnp.swapaxes(a1i, -1, -2)
 
     F, xM, c = a0r.shape
     if not interpret and _sandwich_tile_m(xM, c) < 32:
@@ -253,7 +257,7 @@ def fused_sandwich(A0, X, A1, interpret=None):
         # (X and A1 are held whole per grid step) — use the XLA einsum,
         # which tiles every dimension.
         out = jnp.einsum(
-            "fqk,bfkl,frl->bqr",
+            "fqk,bfkl,flr->bqr",
             jax.lax.complex(a0r, a0i),
             jax.lax.complex(xr, xi),
             jax.lax.complex(a1r, a1i),
@@ -274,8 +278,8 @@ def _dsandwich_kernel(e0r_ref, e0i_ref, fsr_ref, fsi_ref, e1r_ref,
                       e1i_ref, or_ref, oi_ref):
     # T = E0_f @ FS_b        [c, xM] — VMEM-resident
     tr, ti = _karatsuba(e0r_ref[0], e0i_ref[0], fsr_ref[0], fsi_ref[0])
-    # out = T @ E1_f^T       [c, c]
-    sr, si = _karatsuba(tr, ti, e1r_ref[0].T, e1i_ref[0].T)
+    # out = T @ E1t_f        [c, c] (E1 arrives pre-transposed [F, xM, c])
+    sr, si = _karatsuba(tr, ti, e1r_ref[0], e1i_ref[0])
     or_ref[0, 0] = sr
     oi_ref[0, 0] = si
 
@@ -286,8 +290,10 @@ def _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret):
     B = fsr.shape[0]
     grid = (B, F)
     ms = pltpu.ANY if interpret else pltpu.VMEM
-    e_spec = pl.BlockSpec((1, c, xM), lambda b, f: (f, 0, 0),
-                          memory_space=ms)
+    e0_spec = pl.BlockSpec((1, c, xM), lambda b, f: (f, 0, 0),
+                           memory_space=ms)
+    e1_spec = pl.BlockSpec((1, xM, c), lambda b, f: (f, 0, 0),
+                           memory_space=ms)
     fs_spec = pl.BlockSpec((1, xM, xM), lambda b, f: (b, 0, 0),
                            memory_space=ms)
     o_spec = pl.BlockSpec((1, 1, c, c), lambda b, f: (b, f, 0, 0),
@@ -296,7 +302,7 @@ def _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret):
     return pl.pallas_call(
         _dsandwich_kernel,
         grid=grid,
-        in_specs=[e_spec, e_spec, fs_spec, fs_spec, e_spec, e_spec],
+        in_specs=[e0_spec, e0_spec, fs_spec, fs_spec, e1_spec, e1_spec],
         out_specs=[o_spec, o_spec],
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -349,10 +355,12 @@ def fused_double_sandwich(E0, FS, E1, interpret=None):
     e0r, e0i = split(E0)
     fsr, fsi = split(FS)
     e1r, e1i = split(E1)
+    e1r = jnp.swapaxes(e1r, -1, -2)  # [F, xM, c] — kernel wants E1^T
+    e1i = jnp.swapaxes(e1i, -1, -2)
     F, c, xM = e0r.shape
     if not interpret and not _dsandwich_fits(xM, c):
         out = jnp.einsum(
-            "fki,bij,flj->bfkl",
+            "fki,bij,fjl->bfkl",
             jax.lax.complex(e0r, e0i),
             jax.lax.complex(fsr, fsi),
             jax.lax.complex(e1r, e1i),

@@ -339,12 +339,24 @@ class ShardedSwiftly:
 
         prec = self.precision
         use_pallas_fwd = self.engine_mode == "pallas"
-        if self.fft_impl == "mxu":
+        fft_impl = self.fft_impl
+        # Mosaic kernel-faults at runtime when the factor-matmul (mxu)
+        # facet transforms appear in the same compiled module as the
+        # streaming scan at yN=2048: the 4k[1]-n2k-512 roundtrip faults
+        # even with only the in-scan uses pinned to the XLA FFT, while
+        # the pure XLA-FFT engine is validated good at this size (and
+        # yN=8192 is validated good *with* mxu, where it is ~23% faster
+        # end-to-end). Demote the whole engine to the XLA FFT there.
+        if fft_impl == "mxu" and yN == 2048:
+            fft_impl = "xla"
+        if fft_impl == "mxu":
             prep_facet = prepare_facet_mxu
             fin_facet = finish_facet_mxu
         else:
             prep_facet = prepare_facet_op
             fin_facet = finish_facet_fn
+        prep_facet_scan = prep_facet
+        fin_facet_scan = fin_facet
 
         def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
                                 valid, mask0, mask1):
@@ -354,7 +366,7 @@ class ShardedSwiftly:
             # the inverse-DFT matrix.
             def col_one(bf, o1):
                 nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                return prep_facet(nm, o1, 1, Fb, yN)
+                return prep_facet_scan(nm, o1, 1, Fb, yN)
 
             NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
@@ -408,7 +420,7 @@ class ShardedSwiftly:
             # reference's forward LRU amortises (api_helper extract_column).
             def col_one(bf, o1):
                 nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                return prep_facet(nm, o1, 1, Fb, yN)
+                return prep_facet_scan(nm, o1, 1, Fb, yN)
 
             NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
@@ -501,7 +513,7 @@ class ShardedSwiftly:
             NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
 
             NAF_BMNAF = jax.vmap(
-                lambda a, o1f: fin_facet(a, o1f, yB, 1, Fb)
+                lambda a, o1f: fin_facet_scan(a, o1f, yB, 1, Fb)
             )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
             NAF_BMNAF = NAF_BMNAF * _my(
                 fmask1, d, NAF_MNAF.shape[0]
@@ -590,7 +602,7 @@ class ShardedSwiftly:
             # accumulate_facet: finish the column along axis 1 and fold it
             # into the facet accumulator.
             NAF_BMNAF = jax.vmap(
-                lambda a, o1f: fin_facet(a, o1f, yB, 1, Fb)
+                lambda a, o1f: fin_facet_scan(a, o1f, yB, 1, Fb)
             )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
             NAF_BMNAF = NAF_BMNAF * _my(
                 fmask1, d, NAF_MNAF.shape[0]
