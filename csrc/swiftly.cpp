@@ -258,7 +258,7 @@ int swiftly_prepare_facet(void* hp, const c128* in, i64 in_rs, i64 in_es,
                           i64 yB, i64 off) {
   Swiftly* h = static_cast<Swiftly*>(hp);
   const i64 n = h->yN;
-  if (yB > n) return 1;
+  if (yB > n - 1) return 1;  // Fb has yN-1 entries; yB==yN would read fb[-1]
   const double* fb = h->Fb.data() + ((n - 1) / 2 - yB / 2);
   const i64 lo = n / 2 - yB / 2;  // pad_mid window start
   const i64 base = n / 2 - off;   // ifftshift + roll(+off) load offset
@@ -433,7 +433,7 @@ int swiftly_finish_facet(void* hp, const c128* in, i64 in_rs, i64 in_es,
                          i64 yB, i64 off) {
   Swiftly* h = static_cast<Swiftly*>(hp);
   const i64 n = h->yN;
-  if (yB > n) return 1;
+  if (yB > n - 1) return 1;  // Fb has yN-1 entries; yB==yN would read fb[-1]
   const double* fb = h->Fb.data() + ((n - 1) / 2 - yB / 2);
   const FftPlan& plan = h->plan_yN;
   View vi{in, in_rs, in_es};

@@ -86,13 +86,13 @@ def _cmatmul(ar, ai, br, bi, tile_m, tile_n, interpret):
     N = br.shape[1]
     grid = (pl.cdiv(M, tile_m), pl.cdiv(N, tile_n))
     a_spec = pl.BlockSpec((tile_m, K), lambda i, j: (i, 0),
-                          memory_space=pltpu.ANY if interpret else
+                          memory_space=pl.ANY if interpret else
                           pltpu.VMEM)
     b_spec = pl.BlockSpec((K, tile_n), lambda i, j: (0, j),
-                          memory_space=pltpu.ANY if interpret else
+                          memory_space=pl.ANY if interpret else
                           pltpu.VMEM)
     c_spec = pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
-                          memory_space=pltpu.ANY if interpret else
+                          memory_space=pl.ANY if interpret else
                           pltpu.VMEM)
     out_shape = [_sds((M, N), ar), _sds((M, N), ar)]
     return pl.pallas_call(
@@ -191,7 +191,7 @@ def _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret):
     B = xr.shape[0]
     TM = xM if interpret else _sandwich_tile_m(xM, c)
     grid = (B, xM // TM, F)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     a0_spec = pl.BlockSpec((1, TM, c), lambda b, m, f: (f, m, 0),
                            memory_space=ms)
     a1_spec = pl.BlockSpec((1, c, xM), lambda b, m, f: (f, 0, 0),
@@ -289,7 +289,7 @@ def _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret):
     F, c, xM = e0r.shape
     B = fsr.shape[0]
     grid = (B, F)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     e0_spec = pl.BlockSpec((1, c, xM), lambda b, f: (f, 0, 0),
                            memory_space=ms)
     e1_spec = pl.BlockSpec((1, xM, c), lambda b, f: (f, 0, 0),

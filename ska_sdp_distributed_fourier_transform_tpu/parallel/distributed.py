@@ -138,6 +138,21 @@ class ColumnPlan:
             off0[ci] = o0
             m0 = cfgs[0].mask0
             mask0[ci] = 1.0 if m0 is None else np.asarray(m0)
+            # The plan stores one axis-0 mask per column; silently
+            # applying cfgs[0]'s to the rest would corrupt custom covers
+            # where subgrids of one column carry different mask0.
+            for other in cfgs[1:]:
+                mo = other.mask0
+                same = (m0 is None and mo is None) or (
+                    m0 is not None and mo is not None
+                    and np.array_equal(np.asarray(m0), np.asarray(mo))
+                )
+                if not same:
+                    raise ValueError(
+                        f"subgrids of column off0={o0} carry different "
+                        "axis-0 masks; the sharded engine requires a "
+                        "uniform mask0 per column"
+                    )
             for bi, cfg in enumerate(cfgs):
                 sg_off1[ci, bi] = cfg.off1
                 valid[ci, bi] = 1.0

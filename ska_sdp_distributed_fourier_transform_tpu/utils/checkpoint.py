@@ -50,9 +50,32 @@ def save_checkpoint(path, arrays, meta=None):
         if arr is None:
             continue
         if hasattr(arr, "addressable_shards"):  # jax array
-            host[name] = get_complex(arr) if np.issubdtype(
+            if not getattr(arr, "is_fully_addressable", True):
+                # Multi-host (pod) case: shards live on devices of other
+                # processes — np.asarray would raise. Gather the global
+                # array to every host first.
+                from jax.experimental.multihost_utils import (
+                    process_allgather,
+                )
+
+                if np.issubdtype(
+                    np.dtype(arr.dtype), np.complexfloating
+                ):
+                    import jax.numpy as jnp
+
+                    re = process_allgather(jnp.real(arr), tiled=True)
+                    im = process_allgather(jnp.imag(arr), tiled=True)
+                    host[name] = np.asarray(re) + 1j * np.asarray(im)
+                else:
+                    host[name] = np.asarray(
+                        process_allgather(arr, tiled=True)
+                    )
+            elif np.issubdtype(
                 np.dtype(arr.dtype), np.complexfloating
-            ) else np.asarray(arr)
+            ):
+                host[name] = get_complex(arr)
+            else:
+                host[name] = np.asarray(arr)
         else:
             host[name] = np.asarray(arr)
     meta_json = json.dumps(meta or {})

@@ -196,9 +196,13 @@ def collective_bytes(compiled):
                 base = base[: -len(suffix)]
         if base not in _COLLECTIVES:
             continue
-        if op.endswith("-done"):
-            continue  # avoid double counting async pairs
-        out[op] = out.get(op, 0) + _shape_bytes(m.group(1))
+        if op.endswith("-start"):
+            # Async pairs: the '-start' op's declared shape is a tuple
+            # that also carries operand aliases, so counting it would
+            # double-count; the matching '-done' op's shape is exactly
+            # the result.
+            continue
+        out[base] = out.get(base, 0) + _shape_bytes(m.group(1))
     out["total"] = sum(out.values())
     return out
 

@@ -25,7 +25,7 @@ ENTRY e {
   %p = f32[2,8,128]{2,1,0} parameter(0)
   %a2a = f32[2,8,128]{2,1,0} all-to-all(%p), dimensions={1}
   %ar = bf16[64]{0} all-reduce(%x), replica_groups={}
-  %rs-start = f32[4,4]{1,0} reduce-scatter-start(%y)
+  %rs-start = (f32[8,4]{1,0}, f32[4,4]{1,0}) reduce-scatter-start(%y)
   %rs-done = f32[4,4]{1,0} reduce-scatter-done(%rs-start)
   %add = f32[2,8,128]{2,1,0} add(%a2a, %a2a)
 }
@@ -33,8 +33,10 @@ ENTRY e {
     info = collective_bytes(hlo)
     assert info["all-to-all"] == 2 * 8 * 128 * 4
     assert info["all-reduce"] == 64 * 2
-    # async pairs counted once (via the -start op)
-    assert info.get("reduce-scatter-start", 0) == 4 * 4 * 4
+    # async pairs counted once, via the -done op (the -start shape is a
+    # tuple carrying operand aliases, which would double-count)
+    assert info.get("reduce-scatter", 0) == 4 * 4 * 4
+    assert "reduce-scatter-start" not in info
     assert "reduce-scatter-done" not in info
     assert info["total"] == sum(v for k, v in info.items() if k != "total")
 
