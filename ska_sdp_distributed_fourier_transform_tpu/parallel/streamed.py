@@ -1,0 +1,410 @@
+"""Host-streamed SwiFTly engine: configs bigger than device memory.
+
+The reference runs its largest configs by giving every Dask worker a
+320-512 GiB *host* (reference slurm_scripts/run_distr_single_csd3.slurm)
+— facet-scale state lives in host RAM and only tile-scale pieces move.
+This engine is the TPU-native version of that regime, for catalogue
+entries whose facet arrays exceed the mesh's aggregate HBM
+(64k/128k-class, see :mod:`..utils.memory_plan`):
+
+* ``BF_F`` (prepared facets, ``[F, yN, yB]``) and the backward facet
+  accumulator live in **host memory** (complex64/128 numpy);
+* the device only ever holds one column's working set: the ``[F, c, yB]``
+  row block a column actually reads, the column-scale intermediates, and
+  a batch chunk of subgrids — bounded regardless of N;
+* per column, the host gathers the wrap-window row block (contiguous
+  modulo yN, so it is two slices + a roll — O(c·yB), no full-array
+  traffic), ships it through the float-pair transfer path, and
+  scatter-adds the returned finished rows into the accumulator in
+  complex128 (the host fold costs nothing extra in accuracy);
+* facet prepare/finish (the only yN-scale axis-0 transforms) run on
+  device in yB-column chunks, so their footprint is also bounded.
+
+The column pipeline itself is the operator (MXU) formulation of the
+sharded engine (:mod:`.distributed`), minus the collectives — the host
+tier targets a single chip; sharded meshes use :class:`ShardedSwiftly`.
+
+Reference parity: this makes the 64k/128k half of ``SWIFT_CONFIGS``
+(reference swift_configs.py:30-40) *runnable* on TPU hardware, which the
+reference only achieves with multi-hundred-GiB cluster nodes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import operators as linop
+from ..ops.core import (
+    SwiftlyCore,
+    extract_from_facet_fn,
+    finish_facet_fn,
+    finish_facet_mxu,
+    prepare_facet_mxu,
+    prepare_facet_op,
+)
+from ..utils.transfer import get_complex, put_complex
+from .distributed import ColumnPlan
+
+__all__ = ["StreamedSwiftly"]
+
+
+class StreamedSwiftly:
+    """Single-device streaming engine with host-resident facet state.
+
+    :param core: :class:`SwiftlyCore` (parameters + constants)
+    :param facet_configs: list of FacetConfig (uniform ``size``)
+    :param subgrid_configs: list of SubgridConfig (uniform ``size``)
+    :param batch_chunk: subgrids per device dispatch within a column
+        (auto: the whole column)
+    :param prepare_chunk: yB-columns per facet prepare/finish dispatch
+    :param precision: MXU precision for the operator contractions
+    :param fft_impl: ``"mxu"``/``"xla"`` for the yN-scale transforms
+        (same trade-off as :class:`ShardedSwiftly`)
+    """
+
+    def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
+                 batch_chunk=None, prepare_chunk=2048, precision="high",
+                 fft_impl="xla"):
+        self.core = core
+        self.precision = jax.lax.Precision(precision)
+        if fft_impl not in ("xla", "mxu"):
+            raise ValueError(f"Unknown fft_impl: {fft_impl}")
+        # Same Mosaic workaround as ShardedSwiftly._build_programs.
+        if fft_impl == "mxu" and core.yN_size == 2048:
+            fft_impl = "xla"
+        self.fft_impl = fft_impl
+
+        sizes = {cfg.size for cfg in facet_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform facet size")
+        self.yB_size = sizes.pop()
+        sizes = {cfg.size for cfg in subgrid_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform subgrid size")
+        self.xA_size = sizes.pop()
+
+        self.facet_configs = list(facet_configs)
+        self.plan = ColumnPlan.from_configs(
+            subgrid_configs, self.xA_size, n_devices=1
+        )
+        B = self.plan.batch
+        self.batch_chunk = min(batch_chunk or B, B)
+
+        F = len(self.facet_configs)
+        self.F = F
+        rd = core.real_dtype
+        self._foff0 = np.zeros(F, dtype=np.int32)
+        self._foff1 = np.zeros(F, dtype=np.int32)
+        self._fmask0 = np.zeros((F, self.yB_size), dtype=rd)
+        self._fmask1 = np.zeros((F, self.yB_size), dtype=rd)
+        for i, cfg in enumerate(self.facet_configs):
+            self._foff0[i] = cfg.off0
+            self._foff1[i] = cfg.off1
+            m0, m1 = cfg.mask0, cfg.mask1
+            self._fmask0[i] = 1.0 if m0 is None else np.asarray(m0)
+            self._fmask1[i] = 1.0 if m1 is None else np.asarray(m1)
+
+        self.prepare_chunk = min(prepare_chunk, self.yB_size)
+
+        # Host state (allocated by prepare/zero_accumulator).
+        self._BF_F = None  # [F, yN, yB] core-dtype numpy
+        self._accum = None  # [F, yN, yB] complex128 numpy
+
+        self._build_operators()
+        self._build_programs()
+
+    # ------------------------------------------------------------ operators
+
+    def _build_operators(self):
+        core = self.core
+        N, xM, c = core.N, core.xM_size, core.xM_yN_size
+        Fn = np.asarray(core._Fn, dtype=np.float64)
+        self._A0 = np.stack([
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff0
+        ])
+        self._A1 = np.stack([
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff1
+        ])
+        self._E0 = np.stack([
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff0
+        ])
+        self._E1 = np.stack([
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in self._foff1
+        ])
+        self._Fi_xM = linop.shifted_idft_matrix(xM)
+        self._F_xM = linop.shifted_dft_matrix(xM)
+        self._dev_cache = {}
+
+    def _dev_c(self, key, arr):
+        if key not in self._dev_cache:
+            self._dev_cache[key] = put_complex(
+                arr, dtype=self.core.dtype
+            )
+        return self._dev_cache[key]
+
+    # ------------------------------------------------------------- programs
+
+    def _build_programs(self):
+        core = self.core
+        N, yN, xM = core.N, core.yN_size, core.xM_size
+        c = core.xM_yN_size
+        yB, xA = self.yB_size, self.xA_size
+        Fb, Fn = core._Fb, core._Fn
+        del Fn
+        cdtype = core.dtype
+        prec = self.precision
+
+        if self.fft_impl == "mxu":
+            prep_facet = prepare_facet_mxu
+            fin_facet = finish_facet_mxu
+        else:
+            prep_facet = prepare_facet_op
+            fin_facet = finish_facet_fn
+
+        @jax.jit
+        def prepare_cols(facet_cols, foff0):
+            # [yB, chunk] -> [yN, chunk]: axis-0 facet prepare
+            return prep_facet(facet_cols, foff0, 0, Fb, yN)
+
+        @jax.jit
+        def finish_cols(accum_cols, foff0, fmask0_cols):
+            # [yN, chunk] -> [yB, chunk]: axis-0 facet finish + mask
+            out = fin_facet(accum_cols, foff0, yB, 0, Fb)
+            return out * fmask0_cols
+
+        @jax.jit
+        def column_prepare(rows_in, foff1):
+            # rows_in [F, c, yB] -> NMBF_BF [F, c, yN] (axis-1 prepare)
+            return jax.vmap(
+                lambda r, o1: prep_facet(r, o1, 1, Fb, yN)
+            )(rows_in, foff1)
+
+        A0 = lambda: self._dev_c("A0", self._A0)
+        A1 = lambda: self._dev_c("A1", self._A1)
+        E0 = lambda: self._dev_c("E0", self._E0)
+        E1 = lambda: self._dev_c("E1", self._E1)
+        Fi = lambda: self._dev_c("Fi", self._Fi_xM)
+        Fm = lambda: self._dev_c("F", self._F_xM)
+
+        @jax.jit
+        def fwd_chunk(NMBF_BF, A0, A1, Fi_xM, off0, sg_off1, valid,
+                      mask0, mask1):
+            # One batch chunk of the column: contributions -> subgrids.
+            def per_sg(o1b):
+                return jax.vmap(
+                    lambda nb: extract_from_facet_fn(nb, o1b, 1, N, yN, c)
+                )(NMBF_BF)
+
+            X = jax.vmap(per_sg)(sg_off1)  # [b, F, c, c]
+            partial = jnp.einsum(
+                "fqk,bfkl,frl->bqr", A0, X, A1, precision=prec
+            )
+            base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+            G0 = jnp.take(Fi_xM, (base + off0) % xM, axis=0)
+            G1 = jax.vmap(
+                lambda o1b: jnp.take(Fi_xM, (base + o1b) % xM, axis=0)
+            )(sg_off1)
+            sg = jnp.einsum(
+                "qk,bkl,brl->bqr", G0, partial, G1, precision=prec
+            )
+            sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
+            sg = sg * mask1[:, jnp.newaxis, :]
+            return sg * valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+
+        @jax.jit
+        def bwd_chunk(sg, NAF_MNAF, E0, E1, F_xM, off0, sg_off1, valid):
+            # One batch chunk: subgrids -> column accumulator fold.
+            base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+            P0 = jnp.take(F_xM, (base + off0) % xM, axis=1)
+            P1 = jax.vmap(
+                lambda o1b: jnp.take(F_xM, (base + o1b) % xM, axis=1)
+            )(sg_off1)
+            sgv = sg * valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+            FS = jnp.einsum(
+                "iq,bqr,bjr->bij", P0, sgv, P1, precision=prec
+            )
+            NAF_NAF = jnp.einsum(
+                "fki,bij,flj->bfkl", E0, FS, E1, precision=prec
+            )  # [b, F, c, c]
+
+            s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
+            k = jnp.arange(c, dtype=jnp.int32)
+            idx = (
+                yN // 2 - c // 2
+                + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                + s[:, jnp.newaxis]
+            ) % yN  # [b, c]
+            b = NAF_NAF.shape[0]
+            xr = NAF_NAF.transpose(1, 2, 0, 3).reshape(self.F, c, b * c)
+            return NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+
+        @jax.jit
+        def finish_column(NAF_MNAF, foff1, fmask1):
+            # [F, c, yN] -> finished rows [F, c, yB] (axis-1 finish)
+            out = jax.vmap(
+                lambda a, o1: fin_facet(a, o1, yB, 1, Fb)
+            )(NAF_MNAF, foff1)
+            return out * fmask1[:, jnp.newaxis, :]
+
+        self._prepare_cols = prepare_cols
+        self._finish_cols = finish_cols
+        self._column_prepare = column_prepare
+        self._fwd_chunk = fwd_chunk
+        self._bwd_chunk = bwd_chunk
+        self._finish_column = finish_column
+        self._A0d, self._A1d, self._E0d, self._E1d = A0, A1, E0, E1
+        self._Fid, self._Fmd = Fi, Fm
+
+    # --------------------------------------------------------- host helpers
+
+    def _window_start(self, off0):
+        core = self.core
+        yN, c = core.yN_size, core.xM_yN_size
+        s = int(off0) // (core.N // yN)
+        return (yN // 2 - c // 2 + s) % yN, s
+
+    def _gather_rows(self, off0):
+        """Host-side ``extract_from_facet`` along axis 0: the wrap window
+        is contiguous modulo yN (two slices) followed by a roll."""
+        yN, c = self.core.yN_size, self.core.xM_yN_size
+        start, s = self._window_start(off0)
+        end = start + c
+        if end <= yN:
+            win = self._BF_F[:, start:end, :]
+        else:
+            win = np.concatenate(
+                [self._BF_F[:, start:, :], self._BF_F[:, : end - yN, :]],
+                axis=1,
+            )
+        return np.roll(win, s, axis=1)
+
+    def _scatter_rows(self, off0, rows_out):
+        """Host-side dual: fold finished rows into the accumulator at the
+        column's wrap window (complex128 accumulation)."""
+        yN, c = self.core.yN_size, self.core.xM_yN_size
+        start, s = self._window_start(off0)
+        win = np.roll(rows_out, -s, axis=1)
+        end = start + c
+        if end <= yN:
+            self._accum[:, start:end, :] += win
+        else:
+            self._accum[:, start:, :] += win[:, : yN - start, :]
+            self._accum[:, : end - yN, :] += win[:, yN - start :, :]
+
+    # --------------------------------------------------------------- phases
+
+    def prepare_facets(self, facet_arrays):
+        """Compute host-resident ``BF_F`` from per-facet host arrays,
+        one yB-column chunk at a time on device."""
+        core = self.core
+        yN, yB = core.yN_size, self.yB_size
+        self._BF_F = np.zeros((self.F, yN, yB), dtype=core.dtype)
+        for fi, facet in enumerate(facet_arrays):
+            off0 = jnp.asarray(self._foff0[fi], jnp.int32)
+            for lo in range(0, yB, self.prepare_chunk):
+                hi = min(lo + self.prepare_chunk, yB)
+                cols = put_complex(
+                    np.asarray(facet)[:, lo:hi], dtype=core.dtype
+                )
+                out = self._prepare_cols(cols, off0)
+                self._BF_F[fi, :, lo:hi] = get_complex(out)
+
+    def zero_accumulator(self):
+        """Fresh host-side facet accumulator (complex128)."""
+        self._accum = np.zeros(
+            (self.F, self.core.yN_size, self.yB_size), dtype=np.complex128
+        )
+
+    def _col_args(self, ci, lo, hi):
+        plan = self.plan
+        rd = self.core.real_dtype
+        return (
+            jnp.asarray(plan.off0[ci], jnp.int32),
+            jnp.asarray(plan.sg_off1[ci, lo:hi], jnp.int32),
+            jnp.asarray(plan.valid[ci, lo:hi], rd),
+            jnp.asarray(plan.mask0[ci], rd),
+            jnp.asarray(plan.mask1[ci, lo:hi], rd),
+        )
+
+    def process_column(self, ci, collect_subgrids=False):
+        """Forward+backward for one column: gather rows from host BF_F,
+        run the column pipeline on device (batch-chunked), scatter
+        finished rows into the host accumulator.
+
+        :return: list of (SubgridConfig, host subgrid array) when
+            ``collect_subgrids``, else None
+        """
+        core = self.core
+        yN, c = core.yN_size, core.xM_yN_size
+        B = self.plan.batch
+        foff1 = jnp.asarray(self._foff1, jnp.int32)
+        fmask1 = jnp.asarray(self._fmask1)
+
+        rows_in = put_complex(self._gather_rows(self.plan.off0[ci]),
+                              dtype=core.dtype)
+        NMBF_BF = self._column_prepare(rows_in, foff1)
+
+        NAF_MNAF = jnp.zeros((self.F, c, yN), dtype=core.dtype)
+        collected = [] if collect_subgrids else None
+        for lo in range(0, B, self.batch_chunk):
+            hi = min(lo + self.batch_chunk, B)
+            off0, sg_off1, valid, mask0, mask1 = self._col_args(ci, lo, hi)
+            sg = self._fwd_chunk(
+                NMBF_BF, self._A0d(), self._A1d(), self._Fid(),
+                off0, sg_off1, valid, mask0, mask1,
+            )
+            if collect_subgrids:
+                cfgs = self.plan.configs[ci]
+                host_sg = get_complex(sg)
+                for bi in range(lo, min(hi, len(cfgs))):
+                    collected.append((cfgs[bi], host_sg[bi - lo]))
+            NAF_MNAF = self._bwd_chunk(
+                sg, NAF_MNAF, self._E0d(), self._E1d(), self._Fmd(),
+                off0, sg_off1, valid,
+            )
+        rows_out = self._finish_column(NAF_MNAF, foff1, fmask1)
+        self._scatter_rows(self.plan.off0[ci], get_complex(rows_out))
+        return collected
+
+    def finish_facets(self):
+        """Finish the host accumulator into per-facet arrays
+        (device axis-0 transform, yB-column chunks)."""
+        core = self.core
+        yB = self.yB_size
+        out = []
+        for fi in range(self.F):
+            facet = np.zeros((yB, yB), dtype=core.dtype)
+            off0 = jnp.asarray(self._foff0[fi], jnp.int32)
+            for lo in range(0, yB, self.prepare_chunk):
+                hi = min(lo + self.prepare_chunk, yB)
+                cols = put_complex(
+                    self._accum[fi, :, lo:hi], dtype=core.dtype
+                )
+                m0 = jnp.asarray(
+                    self._fmask0[fi, :, np.newaxis]
+                ).astype(core.real_dtype)
+                res = self._finish_cols(cols, off0, m0)
+                facet[:, lo:hi] = get_complex(res)
+            out.append(facet)
+        return out
+
+    def roundtrip(self, facet_arrays):
+        """Full streaming round trip through the host tier.
+
+        :return: ``(facets_out, n_subgrids)`` — host numpy arrays
+        """
+        self.prepare_facets(facet_arrays)
+        self.zero_accumulator()
+        for ci in range(self.plan.n_columns):
+            self.process_column(ci)
+        self._BF_F = None  # release before finish
+        n = sum(len(cfgs) for cfgs in self.plan.configs)
+        return self.finish_facets(), n

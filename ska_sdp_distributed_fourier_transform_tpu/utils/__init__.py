@@ -2,6 +2,7 @@
 communication accounting, checkpoint/resume."""
 
 from .checkpoint import StreamCheckpointer, load_checkpoint, save_checkpoint
+from .memory_plan import MemoryPlan, catalogue_report, plan_config
 from .observability import (
     MemorySampler,
     collective_bytes,
@@ -25,4 +26,7 @@ __all__ = [
     "StreamCheckpointer",
     "load_checkpoint",
     "save_checkpoint",
+    "MemoryPlan",
+    "catalogue_report",
+    "plan_config",
 ]

@@ -1,0 +1,160 @@
+"""Host-streamed engine (StreamedSwiftly) + memory planning tests.
+
+The host tier is the TPU-native analogue of the reference's large-memory
+Dask workers (reference slurm_scripts/run_distr_single_csd3.slurm keeps
+facet state in 512 GiB host RAM): BF_F and the accumulator live on host,
+the device holds one column's working set. Correctness anchors:
+
+* the reference round-trip bound (<3e-10, reference tests/test_api.py:125)
+  at the canonical N=1024 parameters, complex128;
+* chunking invariance — batch/prepare chunk sizes change dispatch
+  granularity only, results must be bit-identical;
+* agreement with the device-resident sharded engine;
+* per-subgrid agreement with the direct-DFT oracle.
+"""
+
+import numpy as np
+import pytest
+
+from ska_sdp_distributed_fourier_transform_tpu import (
+    SwiftlyConfig,
+    make_facet,
+    make_full_facet_cover,
+    make_full_subgrid_cover,
+    make_subgrid,
+)
+from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+    ShardedSwiftly,
+    StreamedSwiftly,
+    make_tile_mesh,
+)
+from ska_sdp_distributed_fourier_transform_tpu.utils.memory_plan import (
+    HBM_BYTES,
+    catalogue_report,
+    plan_config,
+)
+
+CANONICAL = dict(
+    W=13.5625, fov=1.0, N=1024, yB_size=416, yN_size=512,
+    xA_size=228, xM_size=256,
+)
+SOURCES = [(1.0, 10, -30), (0.5, -200, 5), (0.25, 100, 100)]
+
+
+def _covers(params):
+    config = SwiftlyConfig(**params)
+    return (
+        config,
+        make_full_facet_cover(config),
+        make_full_subgrid_cover(config),
+    )
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean(np.abs(np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+def test_streamed_roundtrip_reference_bound():
+    config, fc, sc = _covers(CANONICAL)
+    eng = StreamedSwiftly(config._core, fc, sc)
+    # the reference's acceptance sources (reference tests/test_api.py:66)
+    sources = [(1, 1, 0)]
+    facets = [make_facet(config.image_size, cfg, sources) for cfg in fc]
+    out, n = eng.roundtrip(facets)
+    assert n == len(sc)
+    errs = [_rmse(out[i], facets[i]) for i in range(len(fc))]
+    assert max(errs) < 3e-10  # reference tests/test_api.py:125
+
+
+def test_streamed_chunking_invariance():
+    """Batch/prepare chunk sizes are dispatch granularity only."""
+    config, fc, sc = _covers(CANONICAL)
+    facets = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+    eng_a = StreamedSwiftly(config._core, fc, sc)
+    out_a, _ = eng_a.roundtrip(facets)
+    eng_b = StreamedSwiftly(
+        config._core, fc, sc, batch_chunk=2, prepare_chunk=97
+    )
+    out_b, _ = eng_b.roundtrip(facets)
+    for a, b in zip(out_a, out_b):
+        # chunking reorders the scatter-add fold, so agreement is to
+        # accumulation rounding, not bit-exact
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-13
+        )
+
+
+def test_streamed_matches_sharded_engine():
+    config, fc, sc = _covers(CANONICAL)
+    facets = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+
+    streamed = StreamedSwiftly(config._core, fc, sc)
+    out_s, _ = streamed.roundtrip(facets)
+
+    mesh = make_tile_mesh(1)
+    sharded = ShardedSwiftly(config._core, fc, sc, mesh)
+    packed = sharded.pack_facets(facets)
+    out_d, _ = sharded.roundtrip(packed)
+    for i in range(len(fc)):
+        assert _rmse(out_s[i], np.asarray(out_d[i])) < 1e-10
+
+
+def test_streamed_forward_subgrids_vs_oracle():
+    config, fc, sc = _covers(CANONICAL)
+    eng = StreamedSwiftly(config._core, fc, sc, batch_chunk=3)
+    facets = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+    eng.prepare_facets(facets)
+    eng.zero_accumulator()
+    got = eng.process_column(1, collect_subgrids=True)
+    assert got
+    for cfg, sg in got:
+        oracle = make_subgrid(config.image_size, cfg, SOURCES)
+        assert _rmse(sg, oracle) < 1e-8
+
+
+# --------------------------------------------------------- memory planning
+
+
+def test_memory_plan_16k_single_chip():
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    plan = plan_config(SWIFT_CONFIGS["16k[1]-n8k-512"], 1)
+    assert plan.fits_device
+    # BENCH_SWEEP.md measured ~2x3.3 GB for BF_F + accumulator at F=9
+    assert abs(plan.device_resident["BF_F"] - 9 * 8192 * 5632 * 8) < 1e6
+
+
+def test_memory_plan_32k_production_mesh():
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    # The reference's demonstrated CSD3 workload fits an 8- or 9-chip mesh
+    for n in (8, 9):
+        plan = plan_config(SWIFT_CONFIGS["32k[1]-n16k-1k"], n)
+        assert plan.fits_device, plan.summary()
+    # ... but not a single chip
+    assert not plan_config(SWIFT_CONFIGS["32k[1]-n16k-1k"], 1).fits_device
+
+
+def test_memory_plan_128k_host_tier():
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    plan = plan_config(SWIFT_CONFIGS["128k[1]-n64k-1k"], 9)
+    assert not plan.fits_device  # facet arrays exceed 16 GB HBM
+    assert plan.fits_host_tier  # but the host-streamed tier runs it
+    assert plan.host_peak_device < HBM_BYTES
+
+
+def test_memory_plan_catalogue_complete():
+    """Every SWIFT_CONFIGS entry must be runnable on some tier."""
+    report = catalogue_report()
+    assert len(report) == 244
+    bad = {k: v for k, v in report.items() if v["tier"] == "infeasible"}
+    assert not bad, bad
+    tiers = {v["tier"] for v in report.values()}
+    assert tiers <= {"device", "host"}
