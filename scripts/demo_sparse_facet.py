@@ -97,6 +97,54 @@ def demo_api(queue_size, fundamental_params, lru_forward, lru_backward,
     return len(subgrid_config_list), errors
 
 
+def demo_sharded(fundamental_params, source_count, engine_mode="matmul"):
+    """Sparse facet cover through the dense sharded engine: masks and
+    per-facet offsets make sparse a special case of the dense layout."""
+    import jax
+
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        ShardedSwiftly,
+        make_tile_mesh,
+    )
+
+    swiftlyconfig = SwiftlyConfig(
+        dtype=(None if jax.devices()[0].platform == "cpu"
+               else jax.numpy.complex64),
+        **fundamental_params,
+    )
+    sources = [(1, i + 1, i) for i in range(source_count)]
+    subgrid_config_list = make_full_subgrid_cover(swiftlyconfig)
+    fov_pixel = int(2.12 * swiftlyconfig.max_facet_size)
+    facets_config_list = make_sparse_facet_cover(swiftlyconfig, fov_pixel)
+    log.info("sparse cover: %d facets", len(facets_config_list))
+
+    engine = ShardedSwiftly(
+        swiftlyconfig._core, facets_config_list, subgrid_config_list,
+        make_tile_mesh(), engine_mode=engine_mode,
+    )
+    facets = [
+        make_facet(swiftlyconfig.image_size, cfg, sources)
+        for cfg in facets_config_list
+    ]
+    packed = engine.pack_facets(facets)
+    facets_out, n_subgrids = engine.roundtrip(packed)
+
+    from ska_sdp_distributed_fourier_transform_tpu.utils import (
+        get_complex,
+    )
+
+    errors = []
+    for i, cfg in enumerate(facets_config_list):
+        err = check_facet(
+            swiftlyconfig.image_size, cfg, get_complex(facets_out[i]),
+            sources,
+        )
+        errors.append(err)
+        log.info("error facet, off0/off1:%d/%d: %e", cfg.off0, cfg.off1,
+                 err)
+    return n_subgrids, errors
+
+
 def main(args):
     """Run the sparse demo for each requested configuration."""
     setup_platform(args)
@@ -109,15 +157,22 @@ def main(args):
                 f"{', '.join(sorted(SWIFT_CONFIGS))}"
             )
         t0 = time.perf_counter()
-        n_subgrids, errors = demo_api(
-            args.queue_size,
-            SWIFT_CONFIGS[key],
-            args.lru_forward,
-            args.lru_backward,
-            args.check_subgrid,
-            args.source_number,
-            args.backend,
-        )
+        if getattr(args, "sharded", False):
+            n_subgrids, errors = demo_sharded(
+                SWIFT_CONFIGS[key],
+                args.source_number,
+                args.engine_mode,
+            )
+        else:
+            n_subgrids, errors = demo_api(
+                args.queue_size,
+                SWIFT_CONFIGS[key],
+                args.lru_forward,
+                args.lru_backward,
+                args.check_subgrid,
+                args.source_number,
+                args.backend,
+            )
         elapsed = time.perf_counter() - t0
         log.info(
             "%s: %d subgrids in %.2fs = %.2f subgrids/s; max facet "

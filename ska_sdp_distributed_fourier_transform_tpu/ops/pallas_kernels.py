@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cmatmul", "fused_sandwich", "fused_double_sandwich"]
+__all__ = [
+    "cmatmul",
+    "fused_sandwich",
+    "fused_double_sandwich",
+    "fused_lr_sandwich",
+]
 
 
 def _sds(shape, ref):
@@ -368,4 +373,123 @@ def fused_double_sandwich(E0, FS, E1, interpret=None):
         )
         return out.astype(jnp.complex64)
     outr, outi = _fused_dsandwich(e0r, e0i, fsr, fsi, e1r, e1i, interpret)
+    return jax.lax.complex(outr, outi)
+
+
+# ---------------------------------------------------------------------------
+# Fused L/R sandwich: out[b] = L @ M[b] @ R[b]^T
+# ---------------------------------------------------------------------------
+
+
+def _lr_kernel(lr_ref, li_ref, mr_ref, mi_ref, rr_ref, ri_ref,
+               or_ref, oi_ref):
+    # T = L[row block] @ M[b]    [TP, r] — VMEM-resident
+    tr, ti = _karatsuba(lr_ref[0], li_ref[0], mr_ref[0], mi_ref[0])
+    # out = T @ Rt[b]            [TP, s] (R arrives pre-transposed [B, r, s])
+    sr, si = _karatsuba(tr, ti, rr_ref[0], ri_ref[0])
+    or_ref[0] = sr
+    oi_ref[0] = si
+
+
+def _lr_tile_p(p, q, r, s):
+    """Row-block size for the L operand keeping the working set in VMEM.
+
+    Same calibrated budget as :func:`_sandwich_tile_m`: per grid step the
+    pipeline double-buffers the L block (2·TP·q), M (2·q·r) and Rt
+    (2·r·s) pairs, plus the [TP, r] intermediate with its bf16-split
+    temporaries and the double-buffered output block (4·TP·s).
+    """
+    budget = 15_500_000 // 4
+    fixed = 4 * (q * r + r * s)
+    per_tp = 4 * q + 5 * r + 4 * s
+    tp = (budget - fixed) // max(per_tp, 1)
+    tp = max(min(tp, p), 8)
+    for cand in (p, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= tp and p % cand == 0:
+            return cand
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_lr(lr, li, mr, mi, rr, ri, interpret):
+    # rr/ri arrive pre-transposed: [B, r, s]
+    p, q = lr.shape
+    B, _, r = mr.shape
+    s = rr.shape[2]
+    TP = p if interpret else _lr_tile_p(p, q, r, s)
+    grid = (B, pl.cdiv(p, TP))
+    ms = pl.ANY if interpret else pltpu.VMEM
+    l_spec = pl.BlockSpec((1, TP, q), lambda b, i: (0, i, 0),
+                          memory_space=ms)
+    m_spec = pl.BlockSpec((1, q, r), lambda b, i: (b, 0, 0),
+                          memory_space=ms)
+    r_spec = pl.BlockSpec((1, r, s), lambda b, i: (b, 0, 0),
+                          memory_space=ms)
+    o_spec = pl.BlockSpec((1, TP, s), lambda b, i: (b, i, 0),
+                          memory_space=ms)
+    out_shape = [_sds((B, p, s), mr), _sds((B, p, s), mr)]
+    lr3 = lr[jnp.newaxis]
+    li3 = li[jnp.newaxis]
+    return pl.pallas_call(
+        _lr_kernel,
+        grid=grid,
+        in_specs=[l_spec, l_spec, m_spec, m_spec, r_spec, r_spec],
+        out_specs=[o_spec, o_spec],
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * (p * q * r + p * r * s),
+            bytes_accessed=4 * (2 * p * q + 2 * B * q * r
+                                + 2 * B * r * s + 2 * B * p * s),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lr3, li3, mr, mi, rr, ri)
+
+
+def fused_lr_sandwich(L, M, R, interpret=None):
+    """``out[b] = L @ M[b] @ R[b]^T`` in one Pallas kernel.
+
+    The subgrid-side sandwiches of the streaming engine — the forward
+    ``finish_subgrid`` (``G0 @ summed @ G1^T``) and the backward
+    ``prepare_subgrid`` (``P0 @ sg @ P1^T``) against offset-gathered
+    rows/columns of the DFT matrices — share this shape: a per-batch
+    complex congruence with a shared left operand. The ``L @ M``
+    intermediate never leaves VMEM. Falls back to an XLA einsum when the
+    working set exceeds VMEM.
+
+    :param L: complex [p, q] or (real, imag) float tuple
+    :param M: complex [B, q, r] or (real, imag) float tuple
+    :param R: complex [B, s, r] or (real, imag) float tuple
+    :return: complex64 [B, p, s]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    def split(z):
+        if isinstance(z, tuple):
+            return z
+        return (jnp.real(z).astype(jnp.float32),
+                jnp.imag(z).astype(jnp.float32))
+
+    lr, li = split(L)
+    mr, mi = split(M)
+    rr, ri = split(R)
+    rr = jnp.swapaxes(rr, -1, -2)  # [B, r, s] — kernel wants R^T
+    ri = jnp.swapaxes(ri, -1, -2)
+    p, q = lr.shape
+    B, _, r = mr.shape
+    s = rr.shape[2]
+    if not interpret and _lr_tile_p(p, q, r, s) < 8:
+        out = jnp.einsum(
+            "pq,bqr,brs->bps",
+            jax.lax.complex(lr, li),
+            jax.lax.complex(mr, mi),
+            jax.lax.complex(rr, ri),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(jnp.complex64)
+    outr, outi = _fused_lr(lr, li, mr, mi, rr, ri, interpret)
     return jax.lax.complex(outr, outi)

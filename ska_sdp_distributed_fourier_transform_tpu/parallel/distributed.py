@@ -419,9 +419,14 @@ class ShardedSwiftly:
             G1 = jax.vmap(
                 lambda o1b: jnp.take(Fi_xM, (base + o1b) % xM, axis=0)
             )(my_off1)  # [Bloc, xA, xM]
-            sg = jnp.einsum(
-                "qk,bkl,brl->bqr", G0, summed, G1, precision=prec
-            )
+            if use_pallas_fwd:
+                from ..ops.pallas_kernels import fused_lr_sandwich
+
+                sg = fused_lr_sandwich(G0, summed, G1).astype(cdtype)
+            else:
+                sg = jnp.einsum(
+                    "qk,bkl,brl->bqr", G0, summed, G1, precision=prec
+                )
             sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
             sg = sg * my_mask1[:, jnp.newaxis, :]
             sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
@@ -496,9 +501,14 @@ class ShardedSwiftly:
                 lambda o1b: jnp.take(F_xM, (base + o1b) % xM, axis=1)
             )(my_off1)  # [Bloc, xM, xA]
             sgv = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
-            FS = jnp.einsum(
-                "iq,bqr,bjr->bij", P0, sgv, P1, precision=prec
-            )  # [Bloc, xM, xM]
+            if use_pallas_fwd:
+                from ..ops.pallas_kernels import fused_lr_sandwich
+
+                FS = fused_lr_sandwich(P0, sgv, P1).astype(cdtype)
+            else:
+                FS = jnp.einsum(
+                    "iq,bqr,bjr->bij", P0, sgv, P1, precision=prec
+                )  # [Bloc, xM, xM]
 
             if use_pallas_fwd:
                 from ..ops.pallas_kernels import fused_double_sandwich

@@ -102,3 +102,48 @@ def test_fused_sandwich_is_engine_contraction(rng):
             ).astype(np.complex64)
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_fused_lr_sandwich_matches_einsum(rng):
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_kernels import (
+        fused_lr_sandwich,
+    )
+
+    p, q, r, s, B = 112, 128, 128, 112, 3
+    L = _crand(rng, (p, q))
+    M = _crand(rng, (B, q, r))
+    R = _crand(rng, (B, s, r))
+    got = np.asarray(
+        fused_lr_sandwich(jnp.asarray(L), jnp.asarray(M), jnp.asarray(R),
+                          interpret=True)
+    )
+    want = np.einsum("pq,bqr,bsr->bps", L, M, R)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_fused_lr_sandwich_is_finish_subgrid(rng):
+    """Fed gathered inverse-DFT rows, the kernel computes exactly the
+    forward engine's finish_subgrid sandwich."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops import (
+        operators as linop,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_kernels import (
+        fused_lr_sandwich,
+    )
+
+    xM, xA, B = 256, 228, 2
+    Fi = linop.shifted_idft_matrix(xM).astype(np.complex64)
+    base = xM // 2 - xA // 2 + np.arange(xA)
+    off0 = 16
+    off1s = [0, 32]
+    G0 = Fi[(base + off0) % xM]
+    G1 = np.stack([Fi[(base + o1) % xM] for o1 in off1s])
+    S = _crand(rng, (B, xM, xM))
+    got = np.asarray(
+        fused_lr_sandwich(jnp.asarray(G0), jnp.asarray(S),
+                          jnp.asarray(G1), interpret=True)
+    )
+    want = np.einsum("qk,bkl,brl->bqr", G0, S, G1)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-4

@@ -91,3 +91,57 @@ def test_sparse_round_trip(config):
     for cfg, approx in zip(facets_config_list, approx_facets):
         rmse = check_facet(config.image_size, cfg, approx, sources)
         assert rmse < 1e-9, f"{cfg}: {rmse}"
+
+
+@pytest.mark.parametrize("engine_mode", ["fft", "matmul"])
+def test_sparse_round_trip_sharded(config, engine_mode):
+    """Sparse facet covers through the dense sharded engine: the masks
+    and per-facet offsets make sparse a special case of dense
+    (reference equivalent: demo_sparse_facet.py:184-290)."""
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        ShardedSwiftly,
+        make_tile_mesh,
+    )
+
+    facets_config_list = make_sparse_facet_cover(config, int(2.12 * 416))
+    subgrid_configs = make_full_subgrid_cover(config)
+    sources = [(1, i + 1, i) for i in range(3)]
+    facets = [
+        make_facet(config.image_size, cfg, sources)
+        for cfg in facets_config_list
+    ]
+    engine = ShardedSwiftly(
+        config._core, facets_config_list, subgrid_configs,
+        make_tile_mesh(), engine_mode=engine_mode,
+    )
+    packed = engine.pack_facets(facets)
+    out, n = engine.roundtrip(packed)
+    assert n == len(subgrid_configs)
+    for i, cfg in enumerate(facets_config_list):
+        rmse = check_facet(
+            config.image_size, cfg, np.asarray(out[i]), sources
+        )
+        assert rmse < 1e-9, f"{cfg}: {rmse}"
+
+
+def test_sparse_round_trip_streamed(config):
+    """Sparse covers also run through the host-streamed tier."""
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        StreamedSwiftly,
+    )
+
+    facets_config_list = make_sparse_facet_cover(config, int(2.12 * 416))
+    subgrid_configs = make_full_subgrid_cover(config)
+    sources = [(1, i + 1, i) for i in range(3)]
+    facets = [
+        make_facet(config.image_size, cfg, sources)
+        for cfg in facets_config_list
+    ]
+    engine = StreamedSwiftly(
+        config._core, facets_config_list, subgrid_configs
+    )
+    out, n = engine.roundtrip(facets)
+    assert n == len(subgrid_configs)
+    for i, cfg in enumerate(facets_config_list):
+        rmse = check_facet(config.image_size, cfg, out[i], sources)
+        assert rmse < 1e-9, f"{cfg}: {rmse}"
