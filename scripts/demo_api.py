@@ -96,7 +96,8 @@ def demo_api(queue_size, fundamental_params, lru_forward, lru_backward,
 
 
 def demo_sharded(fundamental_params, sources, engine_mode, transfer_info,
-                 config_key, fft_impl="mxu"):
+                 config_key, fft_impl="mxu", checkpoint=None,
+                 checkpoint_every=8):
     """Same round trip on the dense sharded engine."""
     import jax
 
@@ -124,7 +125,18 @@ def demo_sharded(fundamental_params, sources, engine_mode, transfer_info,
         for cfg in facet_cfgs
     ]
     packed = engine.pack_facets(facets)
-    facets_out, n_subgrids = engine.roundtrip(packed)
+    if checkpoint:
+        from ska_sdp_distributed_fourier_transform_tpu.utils import (
+            StreamCheckpointer,
+        )
+
+        ck = StreamCheckpointer(engine, checkpoint,
+                                every=checkpoint_every)
+        facets_out, n_subgrids = engine.roundtrip_checkpointed(
+            packed, ck, segment=checkpoint_every
+        )
+    else:
+        facets_out, n_subgrids = engine.roundtrip(packed)
     rmse = float(device_rmse(facets_out, packed))
     log.info("sharded round-trip RMSE (vs input facets): %e", rmse)
 
@@ -188,7 +200,8 @@ def main(args):
             if args.sharded:
                 n_subgrids, errors = demo_sharded(
                     params, sources, args.engine_mode, args.transfer_info,
-                    key, args.fft_impl,
+                    key, args.fft_impl, args.checkpoint,
+                    args.checkpoint_every,
                 )
             else:
                 n_subgrids, errors = demo_api(

@@ -150,4 +150,17 @@ def cli_parser():
         default=None,
         help="Append collective-byte accounting to this file",
     )
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="Checkpoint file for the --sharded fused stream; an "
+        "interrupted run resumes from the last completed segment",
+    )
+    parser.add_argument(
+        "--checkpoint_every",
+        type=int,
+        default=8,
+        help="Columns per checkpoint segment (with --checkpoint)",
+    )
     return parser

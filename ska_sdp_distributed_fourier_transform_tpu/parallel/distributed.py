@@ -837,6 +837,29 @@ class ShardedSwiftly:
                 accum, _ = jax.lax.scan(body, accum0, (cols, sgs))
                 return accum
 
+            def stream_segment_local(BF_F, acc_pair, A0, A1, Fi_xM, F_xM,
+                                     E0, E1, foff1, foff1_r, fmask1_r,
+                                     cols):
+                # Checkpointable slice of the fused stream: scan a subset
+                # of columns carrying an existing accumulator pair. Used
+                # by roundtrip_checkpointed — the scan is chunked at
+                # checkpoint granularity so a preempted run resumes from
+                # the last saved segment.
+                def body(acc, col):
+                    off0, sg_off1, valid, mask0, mask1 = col
+                    sg = fwd_column_local_mm(
+                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                        valid, mask0, mask1,
+                    )
+                    acc = bwd_column_pair_mm(
+                        sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
+                        off0, sg_off1, valid,
+                    )
+                    return acc, None
+
+                acc, _ = jax.lax.scan(body, acc_pair, cols)
+                return acc
+
             col_spec = (r, r, r, r, r)
             self._stream = jax.jit(
                 shmap(
@@ -845,6 +868,15 @@ class ShardedSwiftly:
                               col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
+            )
+            self._stream_segment = jax.jit(
+                shmap(
+                    stream_segment_local,
+                    in_specs=(t, P(None, TILE_AXIS), t, t, r, r, r, r,
+                              t, r, r, col_spec),
+                    out_specs=P(None, TILE_AXIS),
+                ),
+                donate_argnums=(1,),
             )
             self._stream_fwd = jax.jit(
                 shmap(
@@ -1152,3 +1184,76 @@ class ShardedSwiftly:
         return self._finish_pair(
             acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
         )
+
+    # ------------------------------------------------- checkpointed stream
+
+    @property
+    def _pair_shard(self):
+        from jax.sharding import NamedSharding
+
+        return NamedSharding(self.mesh, P(None, TILE_AXIS))
+
+    def zero_accumulator_pair(self):
+        """Fresh f32 (re, im) accumulator pair, [2, F_pad, yN, yB],
+        facet-sharded — the fused stream's carry layout."""
+        if not hasattr(self, "_zeros_pair_fn"):
+            shape = (2, self.F_pad, self.core.yN_size, self.yB_size)
+            rdtype = self.core.real_dtype
+            self._zeros_pair_fn = jax.jit(
+                lambda: jnp.zeros(shape, dtype=rdtype),
+                out_shardings=self._pair_shard,
+            )
+        return self._zeros_pair_fn()
+
+    def stream_segment(self, BF_F, acc_pair, col_lo, col_hi):
+        """Run columns [col_lo, col_hi) of the fused stream, returning the
+        updated accumulator pair. Operator engine modes only. Segments of
+        equal length share one compilation (offsets are traced)."""
+        if not self._operator_mode:
+            raise NotImplementedError(
+                "stream_segment requires engine_mode matmul/pallas"
+            )
+        cols = tuple(a[col_lo:col_hi] for a in self._all_col_args())
+        return self._stream_segment(
+            BF_F,
+            acc_pair,
+            self._dev_c("A0", self._A0),
+            self._dev_c("A1", self._A1),
+            self._dev_c("Fi", self._Fi_xM, repl=True),
+            self._dev_c("F", self._F_xM, repl=True),
+            self._dev_c("E0", self._E0, repl=True),
+            self._dev_c("E1", self._E1, repl=True),
+            self._dev(self._foff1),
+            self._dev(self._foff1, repl=True),
+            self._dev(self._fmask1, repl=True),
+            cols,
+        )
+
+    def roundtrip_checkpointed(self, packed_facets, checkpointer,
+                               segment=8):
+        """Fused round trip with periodic checkpointing: the scan is
+        chunked into ``segment``-column slices and the accumulator pair
+        is saved after each — a preempted run resumes from the last
+        completed segment (the fused-stream checkpointing the per-column
+        driving loop cannot provide).
+
+        :param checkpointer: :class:`..utils.checkpoint.StreamCheckpointer`
+        :param segment: columns per checkpoint interval
+        :return: ``(facets_out, n_subgrids)``
+        """
+        n = sum(len(c) for c in self.plan.configs)
+        C = self.plan.n_columns
+        BF_F = self.prepare_facets(packed_facets)
+        acc_pair, start = checkpointer.resume_stream(self)
+        ci = start
+        while ci < C:
+            hi = min(ci + segment, C)
+            # equal-length segments share one compilation; the tail
+            # segment compiles once more
+            acc_pair = self.stream_segment(BF_F, acc_pair, ci, hi)
+            acc_pair = checkpointer.step_stream(acc_pair, hi)
+            ci = hi
+        out = self._finish_pair(
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+        )
+        return out, n

@@ -172,3 +172,38 @@ class StreamCheckpointer:
                 },
             )
         return accum
+
+    # --------------------------------------------- fused-stream (pair) API
+
+    def resume_stream(self, engine):
+        """Return ``(acc_pair, next_column)`` for the fused stream's f32
+        (re, im) accumulator-pair carry — restored when a matching
+        checkpoint exists, else fresh. Used by
+        :meth:`..parallel.ShardedSwiftly.roundtrip_checkpointed`."""
+        if os.path.exists(self.path):
+            arrays, meta = load_checkpoint(self.path)
+            if (
+                meta.get("fingerprint") == self._fingerprint()
+                and "accum_pair" in arrays
+            ):
+                import jax
+
+                acc = jax.device_put(
+                    arrays["accum_pair"], engine._pair_shard
+                )
+                return acc, int(meta["next_column"])
+        return engine.zero_accumulator_pair(), 0
+
+    def step_stream(self, acc_pair, columns_done):
+        """Checkpoint the accumulator pair after ``columns_done`` columns;
+        returns ``acc_pair``. The pair is float, so the save path needs no
+        complex transfer support."""
+        save_checkpoint(
+            self.path,
+            {"accum_pair": acc_pair},
+            {
+                "next_column": int(columns_done),
+                "fingerprint": self._fingerprint(),
+            },
+        )
+        return acc_pair

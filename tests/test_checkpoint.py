@@ -115,3 +115,50 @@ def test_resume_rejects_mismatched_engine(tmp_path):
     ckpt2 = StreamCheckpointer(engine2, path, every=1)
     _, start = ckpt2.resume()
     assert start == 0
+
+
+def test_fused_stream_checkpoint_resume(tmp_path):
+    """Kill/resume of the checkpointed FUSED stream (chunked scan)
+    reproduces the uninterrupted fused result."""
+    path = str(tmp_path / "fused.h5")
+    _, engine, facets = _build()
+    packed = engine.pack_facets(facets)
+
+    # Uninterrupted fused round trip for reference.
+    want, n_want = engine.roundtrip(engine.pack_facets(facets))
+    want = np.asarray(want)
+
+    # Partial run: two 2-column segments, then "preemption".
+    ck = StreamCheckpointer(engine, path, every=2)
+    BF_F = engine.prepare_facets(packed)
+    acc, start = ck.resume_stream(engine)
+    assert start == 0
+    acc = engine.stream_segment(BF_F, acc, 0, 2)
+    ck.step_stream(acc, 2)
+    del engine, BF_F, acc
+
+    # Fresh engine (new process in reality) resumes from the checkpoint
+    # and completes.
+    _, engine2, facets2 = _build()
+    ck2 = StreamCheckpointer(engine2, path, every=2)
+    _, start2 = ck2.resume_stream(engine2)
+    assert start2 == 2
+    packed2 = engine2.pack_facets(facets2)
+    got, n_got = engine2.roundtrip_checkpointed(packed2, ck2, segment=2)
+    assert n_got == n_want
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+
+
+def test_fused_stream_checkpoint_fresh_run(tmp_path):
+    """roundtrip_checkpointed from scratch matches the plain fused
+    stream bit-for-bit (same per-column program, chunked scan only)."""
+    path = str(tmp_path / "fresh.h5")
+    _, engine, facets = _build()
+    want, _ = engine.roundtrip(engine.pack_facets(facets))
+    ck = StreamCheckpointer(engine, path, every=3)
+    got, _ = engine.roundtrip_checkpointed(
+        engine.pack_facets(facets), ck, segment=3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-13
+    )
