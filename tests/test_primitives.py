@@ -2,6 +2,7 @@
 strategy — hand-written tiny-array expectations plus oracle
 self-consistency; reference: tests/test_fourier_algorithm.py)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -289,3 +290,115 @@ def test_generate_masks_partition_of_unity():
             if mask[i]:
                 owner[(off - size // 2 + i) % N] += 1
     np.testing.assert_array_equal(owner, np.ones(N, dtype=int))
+
+
+# ----------------------------------------------------- widened tier-1 sweeps
+
+
+@pytest.mark.parametrize(
+    "dims, axis",
+    [
+        (1, (0, 1)),
+        (2, (0, 2)),
+        (3, (1, 1)),
+        ((2, 4), 4),
+        ("str", (3, 4)),
+    ],
+)
+def test_broadcast_rejects_non_int(dims, axis):
+    """Non-integer dims/axis are rejected (reference
+    test_fourier_algorithm.py:450-456 contract)."""
+    with pytest.raises(ValueError):
+        broadcast(jnp.ones((10, 10)), dims, axis)
+
+
+@pytest.mark.parametrize(
+    "dims, axis",
+    [(5, (0, 2)), ((2, 3), 4), ((2, 2), (0, 1)), ("bla", 5), (3, "bla")],
+)
+def test_create_slice_rejects_non_int(dims, axis):
+    with pytest.raises(ValueError):
+        create_slice(2, 6, dims, axis)
+
+
+@pytest.mark.parametrize(
+    "dims, axis, expected",
+    [
+        (0, 0, ()),
+        (1, 0, (6,)),
+        (1, 1, (2,)),
+        (3, 2, (2, 2, 6)),
+        (6, 3, (2, 2, 2, 6, 2, 2)),
+    ],
+)
+def test_create_slice_sweep(dims, axis, expected):
+    assert create_slice(2, 6, dims, axis) == expected
+
+
+def test_roll_and_extract_mid_full_offset_grid():
+    """Wrap-aware slices equal literal roll+extract over the covering
+    2-D offset grid of a non-dividing chunk size (the reference's full
+    sweep, test_fourier_algorithm.py:499-551): N=256, chunk=118 leaves a
+    wrap-around remainder tile in each axis."""
+    N, ch = 256, 118
+    data = np.arange(N * N).reshape(N, N)
+    offsets = ch * np.arange(int(np.ceil(N / ch)))
+    for offx in offsets:
+        for offy in offsets:
+            rolled = np.roll(data, (-offx, -offy), axis=(0, 1))
+            want = np.asarray(
+                extract_mid(extract_mid(jnp.asarray(rolled), ch, 0),
+                            ch, 1)
+            )
+            sx = roll_and_extract_mid(N, int(offx), ch)
+            sy = roll_and_extract_mid(N, int(offy), ch)
+            # assemble from the (<=2 x <=2) wrap blocks
+            got = np.concatenate(
+                [
+                    np.concatenate([data[s0, s1] for s1 in sy], axis=1)
+                    for s0 in sx
+                ],
+                axis=0,
+            )
+            np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("offset", [-5, -1, 0, 1, 3, 5, 7, 11])
+@pytest.mark.parametrize("size", [3, 4, 5])
+def test_roll_and_extract_mid_negative_offsets(offset, size):
+    """Slice lists reproduce literal roll+extract for negative and
+    wrap-around offsets (1-D, both parities of extraction size).
+
+    Slice-list order is "ascending source position" (the reference
+    convention, verified against reference fourier_algorithm.py:141-175
+    directly): for the window-wraps-below-zero branch the value order is
+    the rotation starting at the high block, so some rotation of the
+    block list must equal the rolled order."""
+    n = 12
+    data = np.arange(n)
+    want = np.asarray(
+        extract_mid(jnp.roll(jnp.asarray(data), -offset), size, 0)
+    )
+    slices = roll_and_extract_mid(n, offset, size)
+    blocks = [data[s] for s in slices]
+    rotations = [
+        np.concatenate(blocks[i:] + blocks[:i])
+        for i in range(len(blocks))
+    ]
+    assert any(np.array_equal(r, want) for r in rotations), (
+        slices, blocks, want
+    )
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("offset", [0, 2, 5, 7])
+def test_roll_and_extract_mid_axis_offset_sweep(axis, offset):
+    data = jnp.arange(63.0).reshape(7, 9)
+    size = 5
+    want = np.asarray(
+        extract_mid(jnp.roll(data, -offset, axis=axis), size, axis)
+    )
+    got = np.asarray(
+        roll_and_extract_mid_axis(data, offset, size, axis)
+    )
+    np.testing.assert_array_equal(got, want)
