@@ -675,12 +675,18 @@ class ShardedSwiftly:
             )(MNAF_BMNAF, foff0)
             return out * fmask0[:, :, jnp.newaxis]
 
-        # Pallas kernels don't participate in shard_map's varying-axes
-        # (vma) type checking yet — ref indexing inside the kernel trips
-        # the checker — so it is disabled for the pallas engine mode.
+        # shard_map's varying-axes (vma) type checking is ON wherever the
+        # kernels compile (TPU): pallas_call outputs carry the input's
+        # vma type via ops.pallas_kernels._sds. Only the Pallas *HLO
+        # interpreter* (the CPU test path) still trips the checker — its
+        # internal block dynamic_slice mixes varying refs with
+        # non-varying program-id indices — so the exemption is scoped to
+        # interpret-mode runs of the pallas engine only.
+        from ..ops.pallas_kernels import _is_tpu
+
+        pallas_interpret = self.engine_mode == "pallas" and not _is_tpu()
         shmap = functools.partial(
-            jax.shard_map, mesh=mesh,
-            check_vma=self.engine_mode != "pallas",
+            jax.shard_map, mesh=mesh, check_vma=not pallas_interpret,
         )
         t, r = P(TILE_AXIS), P()
 
