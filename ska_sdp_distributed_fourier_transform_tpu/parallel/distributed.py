@@ -553,31 +553,47 @@ class ShardedSwiftly:
             rows = (
                 yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
             ) % yN  # [c]
-            return NAF_BMNAF, rows
+            return NAF_BMNAF, rows, s0
 
         def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
                                 fmask1, off0, sg_off1, valid):
-            NAF_BMNAF, rows = _bwd_nafb_mm(
+            NAF_BMNAF, rows, _ = _bwd_nafb_mm(
                 sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
             )
             return MNAF_BMNAF.at[:, rows, :].add(
                 NAF_BMNAF, unique_indices=True, mode="promise_in_bounds"
             )
 
-        def bwd_column_pair_mm(sg, acc_pair, E0, E1, F_xM, foff1, fmask1,
-                               off0, sg_off1, valid):
-            # Scan-carry variant: the accumulator is an f32 (real, imag)
-            # pair — complex scatters on a loop carry miscompile on some
-            # TPU shapes, and float scatters are the native path anyway.
-            NAF_BMNAF, rows = _bwd_nafb_mm(
-                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
-            )
+        def _pair_fold(acc_pair, NAF_BMNAF, s0):
+            # Scan-carry fold: the accumulator is an f32 (real, imag)
+            # pair with c PADDING rows ([2, Floc, yN + c, yB]) so the
+            # column's wrap window [start, start + c) never wraps, and
+            # the fold is a dynamic_slice + add + dynamic_update_slice —
+            # XLA reliably updates a scan carry in place for DUS, while
+            # the previous gather-scatter re-materialised the multi-GB
+            # carry every column. The in-window permutation (value j
+            # comes from finished row (j + s0) mod c) is a roll of the
+            # c-row update block, not of the accumulator.
             u = jnp.stack(
                 [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
             ).astype(acc_pair.dtype)
-            return acc_pair.at[:, :, rows, :].add(
-                u, unique_indices=True, mode="promise_in_bounds"
+            u = jnp.roll(u, -s0, axis=2)
+            start = (yN // 2 - c // 2 + s0) % yN
+            zero = jnp.zeros((), jnp.int32)
+            blk = jax.lax.dynamic_slice(
+                acc_pair, (zero, zero, start, zero),
+                (2, acc_pair.shape[1], c, acc_pair.shape[3]),
             )
+            return jax.lax.dynamic_update_slice(
+                acc_pair, blk + u, (zero, zero, start, zero)
+            )
+
+        def bwd_column_pair_mm(sg, acc_pair, E0, E1, F_xM, foff1, fmask1,
+                               off0, sg_off1, valid):
+            NAF_BMNAF, _, s0 = _bwd_nafb_mm(
+                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
+            )
+            return _pair_fold(acc_pair, NAF_BMNAF, s0)
 
         def _bwd_nafb_fft(sg, foff0, foff1, fmask1, off0, sg_off1,
                           valid):
@@ -642,11 +658,11 @@ class ShardedSwiftly:
             rows = (
                 yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
             ) % yN  # [c]
-            return NAF_BMNAF, rows
+            return NAF_BMNAF, rows, s0
 
         def bwd_column_local(sg, MNAF_BMNAF, foff0, foff1, fmask1, off0,
                              sg_off1, valid):
-            NAF_BMNAF, rows = _bwd_nafb_fft(
+            NAF_BMNAF, rows, _ = _bwd_nafb_fft(
                 sg, foff0, foff1, fmask1, off0, sg_off1, valid
             )
             return MNAF_BMNAF.at[:, rows, :].add(
@@ -655,16 +671,11 @@ class ShardedSwiftly:
 
         def bwd_column_pair(sg, acc_pair, foff0, foff1, fmask1, off0,
                             sg_off1, valid):
-            # f32-pair carry variant for scans (see bwd_column_pair_mm)
-            NAF_BMNAF, rows = _bwd_nafb_fft(
+            # f32-pair padded-DUS carry variant (see _pair_fold)
+            NAF_BMNAF, _, s0 = _bwd_nafb_fft(
                 sg, foff0, foff1, fmask1, off0, sg_off1, valid
             )
-            u = jnp.stack(
-                [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
-            ).astype(acc_pair.dtype)
-            return acc_pair.at[:, :, rows, :].add(
-                u, unique_indices=True, mode="promise_in_bounds"
-            )
+            return _pair_fold(acc_pair, NAF_BMNAF, s0)
 
         def _my(arr, d, nloc):
             return jax.lax.dynamic_slice_in_dim(arr, d * nloc, nloc)
@@ -737,7 +748,12 @@ class ShardedSwiftly:
         )
 
         def finish_pair_local(acc_pair, foff0, fmask0):
-            acc = jax.lax.complex(acc_pair[0], acc_pair[1]).astype(cdtype)
+            # fold the c padding rows (wrapped column windows) back onto
+            # the start of the yN axis, then finish
+            folded = acc_pair[:, :, :yN, :].at[:, :, :c, :].add(
+                acc_pair[:, :, yN:, :]
+            )
+            acc = jax.lax.complex(folded[0], folded[1]).astype(cdtype)
             return finish_local(acc, foff0, fmask0)
 
         self._finish_pair = jax.jit(
@@ -763,7 +779,7 @@ class ShardedSwiftly:
                 # are the native TPU path, and complex scatters on a scan
                 # carry miscompile for some shapes
                 accum0 = _varying_zeros(
-                    (2, facets.shape[0], yN, yB), rdtype
+                    (2, facets.shape[0], yN + c, yB), rdtype
                 )
 
                 k = self.columns_per_step
@@ -828,7 +844,7 @@ class ShardedSwiftly:
                 # Gridding direction: consume [C, Bloc, xA, xA] subgrids
                 # into finished facets, one compiled dispatch.
                 accum0 = _varying_zeros(
-                    (2, fmask0.shape[0], yN, yB), rdtype
+                    (2, fmask0.shape[0], yN + c, yB), rdtype
                 )
 
                 def body(acc, col_and_sg):
@@ -907,7 +923,7 @@ class ShardedSwiftly:
                              fmask0, fmask1_r, cols):
                 BF_F = prepare_local(facets, foff0)
                 accum0 = _varying_zeros(
-                    (2, facets.shape[0], yN, yB), rdtype
+                    (2, facets.shape[0], yN + c, yB), rdtype
                 )
 
                 def body(acc, col):
@@ -1203,7 +1219,10 @@ class ShardedSwiftly:
         """Fresh f32 (re, im) accumulator pair, [2, F_pad, yN, yB],
         facet-sharded — the fused stream's carry layout."""
         if not hasattr(self, "_zeros_pair_fn"):
-            shape = (2, self.F_pad, self.core.yN_size, self.yB_size)
+            shape = (
+                2, self.F_pad,
+                self.core.yN_size + self.core.xM_yN_size, self.yB_size,
+            )
             rdtype = self.core.real_dtype
             self._zeros_pair_fn = jax.jit(
                 lambda: jnp.zeros(shape, dtype=rdtype),

@@ -143,6 +143,9 @@ class StreamCheckpointer:
             "xM_size": core.xM_size, "W": core.W,
             "F_pad": self.engine.F_pad,
             "n_columns": self.engine.plan.n_columns,
+            # bump when the accumulator carry layout changes (v2 = the
+            # c-row padded pair layout for the DUS fold)
+            "acc_layout": 2,
         }
 
     def resume(self):
