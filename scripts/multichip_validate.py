@@ -53,12 +53,18 @@ def main():
     args = ap.parse_args()
 
     # Force the CPU platform with N virtual devices before jax init.
+    # The collective rendezvous timeouts must be raised: on a single
+    # host the virtual devices execute serially, so at production
+    # per-column compute the last participant reaches an all_to_all
+    # minutes after the first (XLA's default 40 s terminates the run).
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags
-            + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
+        flags += f" --xla_force_host_platform_device_count={args.devices}"
+    if "xla_cpu_collective_timeout" not in flags:
+        flags += (" --xla_cpu_collective_timeout_seconds=7200"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds"
+                  "=7200")
+    os.environ["XLA_FLAGS"] = flags.strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -5,11 +5,13 @@ device memory."""
 
 from .distributed import ColumnPlan, ShardedSwiftly
 from .mesh import TILE_AXIS, make_tile_mesh
+from .split_stream import SplitSwiftly
 from .streamed import StreamedSwiftly
 
 __all__ = [
     "ColumnPlan",
     "ShardedSwiftly",
+    "SplitSwiftly",
     "StreamedSwiftly",
     "TILE_AXIS",
     "make_tile_mesh",

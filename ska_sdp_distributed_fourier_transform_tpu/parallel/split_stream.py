@@ -1,0 +1,552 @@
+"""Split-precision (double-f32) streaming engine: the ``--precision
+split`` tier.
+
+Runs the full facet->subgrid->facet round trip with every value carried
+as an (hi, lo) f32 pair and every contraction computed by the exact
+integer-chunked MXU matmul (:mod:`..ops.split_precision`) — f64-class
+accuracy (~1e-10 round trip) on hardware whose fast paths are bf16/f32.
+The reference only reaches its 3e-10 bound in complex128 on CPU
+(reference tests/test_api.py:125); the TPU-native answer is not to
+emulate f64 scalar arithmetic (XLA's f64-on-TPU is orders of magnitude
+slow) but to restructure the pipeline so all precision-critical work is
+*exact integer MXU arithmetic*:
+
+* facet-offset phases, window vectors and operator matrices are static
+  — precomputed in f64 on host and split exactly into (hi, lo) pairs;
+* traced subgrid offsets only ever enter through gathers and
+  dynamic-slice folds — exact data movement;
+* the yN-scale transforms are four-step factor matmuls in chunked
+  arithmetic (:func:`..ops.split_precision.df_fft_mxu`);
+* the contribution/finish sandwiches are chunked complex matmuls.
+
+Single-device engine (the accuracy tier targets 2k-8k configs whose
+split working set fits one chip); the c64 sharded engine remains the
+throughput path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import operators as linop
+from ..ops.primitives import pad_mid
+from ..ops.split_precision import (
+    cdf_from_c128,
+    cdf_to_c128,
+    df_add,
+    df_cmul,
+    df_fft_mxu,
+    df_from_f64,
+    df_matmul,
+)
+from .distributed import ColumnPlan
+
+__all__ = ["SplitSwiftly"]
+
+
+def _cdf_map(fn, x):
+    """Apply a plane-wise jnp op to a complex df32 4-tuple."""
+    return tuple(fn(p) for p in x)
+
+
+def _cdf_add(x, y):
+    re = df_add((x[0], x[1]), (y[0], y[1]))
+    im = df_add((x[2], x[3]), (y[2], y[3]))
+    return re + im
+
+
+def _left_mm(Fc, x, keep=3, n_chunks=4):
+    """Constant complex df32 matrix times batched cdf: contract the
+    second-to-last axis of ``x``: out[..., p, r] = sum_q F[p,q] x[..., q, r].
+    """
+    from ..ops.split_precision import _left_cmatmul
+
+    return _left_cmatmul(Fc, x, keep=keep, n_chunks=n_chunks)
+
+
+def _right_mm(x, Fc_t, keep=3, n_chunks=4):
+    """Batched cdf times a constant: out[..., m, p] = sum_q x[..., m, q]
+    F_t[q, p] (pass the constant already transposed)."""
+    lead = x[0].shape[:-1]
+    Q = x[0].shape[-1]
+    xf = tuple(p.reshape(-1, Q) for p in x)
+    from ..ops.split_precision import df_cmatmul
+
+    of = df_cmatmul(xf, Fc_t, keep=keep, n_chunks=n_chunks)
+    P = Fc_t[0].shape[-1]
+    return tuple(p.reshape(lead + (P,)) for p in of)
+
+
+def _pair_cmatmul(a, b, keep=3, n_chunks=4):
+    """Batched cdf @ cdf matmul (both batched identically)."""
+    from ..ops.split_precision import df_cmatmul
+
+    return df_cmatmul(a, b, keep=keep, n_chunks=n_chunks)
+
+
+def _cdf_sum0(x):
+    """Sum a cdf over axis 0 with pairwise df32 reduction (vectorised
+    two-sum halving — log2(F) steps, no per-facet unrolled graph)."""
+    from ..ops.split_precision import _two_sum
+
+    def red(h, l):
+        while h.shape[0] > 1:
+            n = h.shape[0]
+            m = n // 2
+            s, e = _two_sum(h[:m], h[m : 2 * m])
+            l2 = l[:m] + l[m : 2 * m] + e
+            if n % 2:
+                s = jnp.concatenate([s, h[2 * m :]])
+                l2 = jnp.concatenate([l2, l[2 * m :]])
+            h, l = s, l2
+        return h[0], l[0]
+
+    rh, rl = red(x[0], x[1])
+    ih, il = red(x[2], x[3])
+    return (rh, rl, ih, il)
+
+
+def _wrap_take_planes(x, start, size, axis):
+    n = x[0].shape[axis]
+    idx = jnp.mod(start + jnp.arange(size), n)
+    return tuple(jnp.take(p, idx, axis=axis) for p in x)
+
+
+class SplitSwiftly:
+    """Single-device split-precision round-trip engine.
+
+    :param core: :class:`..ops.core.SwiftlyCore` (its dtype is ignored —
+        all math here is df32)
+    :param facet_configs: uniform-size facet cover
+    :param subgrid_configs: uniform-size subgrid cover
+    """
+
+    def __init__(self, core, facet_configs, subgrid_configs,
+                 keep=5, n_chunks=6):
+        #: n_chunks bounds the operand representation (7 bits/chunk,
+        #: error ~2^-7*n_chunks of the matrix max); keep bounds the
+        #: chunk-pair diagonals computed — dropped diagonals contribute
+        #: ~sqrt(K)*2^-7(keep+1) relative (chunk values reach 2^7, so a
+        #: diagonal's magnitude is 2^-7d, not 2^-7(d+2)). The default
+        #: keep=5/n_chunks=6 measures ~7e-12 per matmul at K=192 with 21
+        #: bf16 dots per real product (2.3x the default engine's 9);
+        #: keep=6/n_chunks=7 is full double-float (~1e-12) at 28 dots.
+        self.keep = keep
+        self.n_chunks = n_chunks
+        self.core = core
+        sizes = {cfg.size for cfg in facet_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform facet size")
+        self.yB_size = sizes.pop()
+        sizes = {cfg.size for cfg in subgrid_configs}
+        if len(sizes) != 1:
+            raise ValueError("Engine requires a uniform subgrid size")
+        self.xA_size = sizes.pop()
+        self.facet_configs = list(facet_configs)
+        self.plan = ColumnPlan.from_configs(
+            subgrid_configs, self.xA_size, n_devices=1
+        )
+        self.F = len(self.facet_configs)
+        self._build_constants()
+        # Warm the split-FFT constant cache OUTSIDE any trace: the
+        # lru_cache'd device constants must not be born inside the scan
+        # trace (tracer leak).
+        from ..ops.split_precision import _df_fft_consts
+
+        for inverse in (True, False):
+            if _df_fft_consts(core.yN_size, inverse) is None:
+                raise ValueError(
+                    f"yN={core.yN_size} has no four-step factorisation"
+                )
+
+    # ----------------------------------------------------------- constants
+
+    def _build_constants(self):
+        core = self.core
+        N, yN, xM, c = core.N, core.yN_size, core.xM_size, core.xM_yN_size
+        yB = self.yB_size
+        F = self.F
+
+        foff0 = np.array([cfg.off0 for cfg in self.facet_configs])
+        foff1 = np.array([cfg.off1 for cfg in self.facet_configs])
+        self._foff0 = jnp.asarray(foff0, jnp.int32)
+        self._foff1 = jnp.asarray(foff1, jnp.int32)
+
+        # facet masks (0/1 — exact in f32)
+        m0 = np.ones((F, yB))
+        m1 = np.ones((F, yB))
+        for i, cfg in enumerate(self.facet_configs):
+            if cfg.mask0 is not None:
+                m0[i] = np.asarray(cfg.mask0)
+            if cfg.mask1 is not None:
+                m1[i] = np.asarray(cfg.mask1)
+        self._fmask0 = jnp.asarray(m0, jnp.float32)
+        self._fmask1 = jnp.asarray(m1, jnp.float32)
+
+        # window vectors (f64 -> exact df pairs)
+        pswf_Fb = np.asarray(core._Fb, dtype=np.float64)
+        lo = (yN - 1) // 2 - yB // 2
+        self._Fb_yB = df_from_f64(pswf_Fb[lo : lo + yB])
+
+        # image-space phase vectors for the static facet offsets
+        j0 = np.arange(yN) - yN // 2
+        self._phase0 = cdf_from_c128(
+            np.exp(2j * np.pi / yN * np.outer(foff0, j0))
+        )  # [F, yN]
+        self._phase1 = cdf_from_c128(
+            np.exp(2j * np.pi / yN * np.outer(foff1, j0))
+        )  # [F, yN]
+
+        # operator matrices (host f64, exact split)
+        Fn = np.asarray(core._Fn, dtype=np.float64)
+        self._A0 = cdf_from_c128(np.stack([
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in foff0
+        ]))  # [F, xM, c]
+        self._A1t = cdf_from_c128(np.stack([
+            linop.add_to_subgrid_operator(N, xM, c, Fn, int(o)).T
+            for o in foff1
+        ]))  # [F, c, xM]
+        self._E0 = cdf_from_c128(np.stack([
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
+            for o in foff0
+        ]))  # [F, c, xM]
+        self._E1t = cdf_from_c128(np.stack([
+            linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o)).T
+            for o in foff1
+        ]))  # [F, xM, c]
+        self._Fi = cdf_from_c128(linop.shifted_idft_matrix(xM))
+        self._Fm = cdf_from_c128(linop.shifted_dft_matrix(xM))
+
+        # static per-facet wrap-window gather indices for the finishes
+        base = np.arange(yB)
+        self._fin1_idx = jnp.asarray(
+            (yN // 2 - yB // 2 + foff1[:, None] + base[None, :]) % yN,
+            jnp.int32,
+        )  # [F, yB]
+        self._fin0_idx = jnp.asarray(
+            (yN // 2 - yB // 2 + foff0[:, None] + base[None, :]) % yN,
+            jnp.int32,
+        )  # [F, yB]
+
+    def _col_args(self, ci):
+        plan = self.plan
+        return (
+            jnp.asarray(plan.off0[ci], jnp.int32),
+            jnp.asarray(plan.sg_off1[ci], jnp.int32),
+            jnp.asarray(plan.valid[ci], jnp.float32),
+            jnp.asarray(plan.mask0[ci], jnp.float32),
+            jnp.asarray(plan.mask1[ci], jnp.float32),
+            jnp.asarray(self._fold_targets()[ci], jnp.int32),
+        )
+
+    def _fold_targets(self):
+        """Host-precomputed duplicate-free scatter targets for the
+        column fold: [C, B, c] indices into a [2, yN + 1] slot buffer
+        (slot = coverage order of the row, <= 2 for every config;
+        invalid batch entries land on the shared trash row — their
+        values are exact zeros)."""
+        if getattr(self, "_fold_targets_cache", None) is not None:
+            return self._fold_targets_cache
+        plan = self.plan
+        core = self.core
+        yN, c = core.yN_size, core.xM_yN_size
+        N = core.N
+        yNp = yN + 1
+        C, B = plan.sg_off1.shape
+        out = np.zeros((C, B, c), dtype=np.int32)
+        k = np.arange(c)
+        for ci in range(C):
+            count = np.zeros(yN, dtype=np.int32)
+            for b in range(B):
+                if plan.valid[ci, b] == 0:
+                    out[ci, b] = yN  # trash row in slot 0
+                    continue
+                s1 = int(plan.sg_off1[ci, b]) // (N // yN)
+                idx = (yN // 2 - c // 2 + (k - s1) % c + s1) % yN
+                slot = count[idx]
+                if slot.max() > 1:
+                    raise AssertionError(
+                        "column window multiplicity > 2"
+                    )
+                out[ci, b] = slot * yNp + idx
+                count[idx] += 1
+        self._fold_targets_cache = out
+        return out
+
+    # ------------------------------------------------------------ pipeline
+
+    def _prepare(self, facets_cdf):
+        """[F, yB, yB] cdf -> BF_F [F, yN, yB] cdf (axis-0 prepare,
+        batched over facets — a single transform graph)."""
+        from ..ops.split_precision import df_mul
+
+        core = self.core
+        yN = core.yN_size
+        fb = self._Fb_yB
+        fbb = (fb[0][None, :, None], fb[1][None, :, None])
+        wre = df_mul((facets_cdf[0], facets_cdf[1]), fbb)
+        wim = df_mul((facets_cdf[2], facets_cdf[3]), fbb)
+        win = wre + wim  # [F, yB, yB]
+        padded = tuple(pad_mid(p, yN, 1) for p in win)  # [F, yN, yB]
+        moved = tuple(jnp.swapaxes(p, 1, 2) for p in padded)  # [F,yB,yN]
+        tr = df_fft_mxu(moved, inverse=True, keep=self.keep,
+                        n_chunks=self.n_chunks)
+        ph = tuple(p[:, None, :] for p in self._phase0)  # [F, 1, yN]
+        tr = df_cmul(tr, tuple(jnp.broadcast_to(p, tr[0].shape)
+                               for p in ph))
+        return tuple(jnp.swapaxes(p, 1, 2) for p in tr)  # [F, yN, yB]
+
+    def _column(self, BF_F, acc, col):
+        """One column: forward to subgrids, backward into the padded
+        accumulator. All arrays are cdf 4-tuples of f32 planes."""
+        core = self.core
+        N, yN, xM, c = core.N, core.yN_size, core.xM_size, core.xM_yN_size
+        yB, xA = self.yB_size, self.xA_size
+        off0, sg_off1, valid, mask0, mask1 = col[:5]
+
+        # --- extract rows (axis 0) at off0: wrap window + roll ---------
+        s0 = jnp.floor_divide(off0, N // yN)
+        start0 = yN // 2 - c // 2 + s0
+        rows = _wrap_take_planes(BF_F, start0, c, axis=1)  # [F, c, yB]
+        rows = tuple(jnp.roll(p, s0, axis=1) for p in rows)
+
+        # --- prepare axis 1: window Fb, pad to yN, ifft, static phase --
+        from ..ops.split_precision import df_mul
+
+        fb = self._Fb_yB
+        wre = df_mul((rows[0], rows[1]), (fb[0][None, None, :],
+                                          fb[1][None, None, :]))
+        wim = df_mul((rows[2], rows[3]), (fb[0][None, None, :],
+                                          fb[1][None, None, :]))
+        win = wre + wim
+        padded = tuple(pad_mid(p, yN, 2) for p in win)  # [F, c, yN]
+        NMBF_BF = df_fft_mxu(padded, inverse=True, keep=self.keep,
+                             n_chunks=self.n_chunks)
+        ph1 = tuple(p[:, None, :] for p in self._phase1)
+        NMBF_BF = df_cmul(
+            NMBF_BF,
+            tuple(jnp.broadcast_to(p, NMBF_BF[0].shape) for p in ph1),
+        )
+
+        # --- per-subgrid extraction (axis 2 windows) -------------------
+        s1 = jnp.floor_divide(sg_off1, N // yN)  # [B]
+
+        def window_b(s1b):
+            w = _wrap_take_planes(
+                NMBF_BF, yN // 2 - c // 2 + s1b, c, axis=2
+            )
+            return tuple(jnp.roll(p, s1b, axis=2) for p in w)
+
+        X = jax.vmap(window_b)(s1)  # planes [B, F, c, c]
+
+        # --- contribution sandwich, summed over facets -----------------
+        # batched over F (one vmapped matmul graph, not F unrolled ones)
+        B = X[0].shape[0]
+        F = self.F
+        Xf = tuple(
+            p.transpose(1, 2, 0, 3).reshape(F, c, B * c) for p in X
+        )
+        T = _pair_cmatmul(self._A0, Xf, self.keep,
+                          self.n_chunks)  # [F, xM, B*c]
+        Tv = tuple(
+            p.reshape(F, xM, B, c).transpose(0, 2, 1, 3)
+            .reshape(F, B * xM, c)
+            for p in T
+        )
+        S = _pair_cmatmul(Tv, self._A1t, self.keep,
+                          self.n_chunks)  # [F, B*xM, xM]
+        Sv = tuple(p.reshape(F, B, xM, xM) for p in S)
+        summed = _cdf_sum0(Sv)  # [B, xM, xM]
+
+        # --- finish sandwich -> subgrids -------------------------------
+        base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+        g0_rows = (base + off0) % xM
+        G0 = tuple(jnp.take(p, g0_rows, axis=0) for p in self._Fi)
+        g1_rows = (base[None, :] + sg_off1[:, None]) % xM  # [B, xA]
+        G1t = tuple(
+            jnp.take(p, g1_rows, axis=0).transpose(0, 2, 1)
+            for p in self._Fi
+        )  # [B, xM, xA]
+        T = _left_mm(G0, summed, self.keep, self.n_chunks)  # [B, xA, xM]
+        sg = _pair_cmatmul(T, G1t, self.keep, self.n_chunks)  # [B, xA, xA]
+        m = (mask0[None, :, None] * mask1[:, None, :]
+             * valid[:, None, None])
+        sg = tuple(p * m for p in sg)
+
+        # --- backward: prepare sandwich --------------------------------
+        P0 = tuple(jnp.take(p, g0_rows, axis=1) for p in self._Fm)
+        # P1^T[b] = F_xM[:, rows_b]^T  -> [B, xA, xM]
+        P1t = tuple(
+            jnp.take(p, g1_rows, axis=1).transpose(1, 2, 0)
+            for p in self._Fm
+        )
+        T = _left_mm(P0, sg, self.keep, self.n_chunks)  # [B, xM, xA]
+        FS = _pair_cmatmul(T, P1t, self.keep, self.n_chunks)  # [B, xM, xM]
+
+        # --- extraction sandwich, batched over facets ------------------
+        # stage 1 is a single 2-D matmul: stack E0 rows over facets
+        E0all = tuple(p.reshape(F * c, xM) for p in self._E0)
+        FSm = tuple(
+            jnp.moveaxis(p, 1, 0).reshape(xM, B * xM) for p in FS
+        )
+        T = _pair_cmatmul(E0all, FSm, self.keep,
+                          self.n_chunks)  # [F*c, B*xM]
+        Tv = tuple(
+            p.reshape(F, c, B, xM).transpose(0, 2, 1, 3)
+            .reshape(F, B * c, xM)
+            for p in T
+        )
+        NAFf = _pair_cmatmul(Tv, self._E1t, self.keep,
+                             self.n_chunks)  # [F, B*c, c]
+        NAFv = tuple(p.reshape(F, B, c, c) for p in NAFf)
+
+        # --- column fold: scatter into [F, c, yN] ----------------------
+        # Subgrid windows overlap (multiplicity <= 2, and the last
+        # window wraps around to overlap the first), and a plain f32
+        # scatter-add would round the overlapping hi-plane sums — error
+        # the Fb grid-correction then amplifies at facet edges. The
+        # host-precomputed slot targets (``col[5]``) place every valid
+        # contribution at a unique position in a 2-slot buffer (padded
+        # entries share a trash row, but contribute exact zeros); the
+        # two slots then combine with a true df32 add.
+        targets = col[5].reshape(-1)  # [B*c] into [2*(yN+1)]
+        yNp = yN + 1
+        planes = []
+        for p in NAFv:
+            xr = p.transpose(0, 2, 1, 3).reshape(F, c, -1)
+            planes.append(
+                jnp.zeros((F, c, 2 * yNp), jnp.float32)
+                .at[:, :, targets]
+                .add(xr, mode="promise_in_bounds")
+            )
+        NAF_MNAF = _cdf_add(
+            tuple(p[:, :, :yN] for p in planes),
+            tuple(p[:, :, yNp : yNp + yN] for p in planes),
+        )
+
+        # --- finish axis 1 (yN fft + static wrap gather + Fb window) ---
+        g = df_fft_mxu(NAF_MNAF, inverse=False, keep=self.keep,
+                       n_chunks=self.n_chunks)  # [F, c, yN]
+        # per-facet static wrap windows: one vmapped gather
+        w = tuple(
+            jax.vmap(lambda pf, ix: jnp.take(pf, ix, axis=1))(
+                p, self._fin1_idx
+            )
+            for p in g
+        )  # [F, c, yB]
+        fbr = (fb[0][None, None, :], fb[1][None, None, :])
+        re = df_mul((w[0], w[1]), fbr)
+        im = df_mul((w[2], w[3]), fbr)
+        mm = self._fmask1[:, None, :]
+        rows_out = tuple(p * mm for p in re + im)  # [F, c, yB]
+
+        # --- DUS fold into the padded accumulator ----------------------
+        u = tuple(jnp.roll(p, -s0, axis=1) for p in rows_out)
+        start = (yN // 2 - c // 2 + s0) % yN
+        zero = jnp.zeros((), jnp.int32)
+        blk = tuple(
+            jax.lax.dynamic_slice(
+                acc[k], (zero, start, zero), (self.F, c, yB)
+            )
+            for k in range(4)
+        )
+        newblk = _cdf_add(blk, u)
+        acc = tuple(
+            jax.lax.dynamic_update_slice(
+                acc[k], newblk[k], (zero, start, zero)
+            )
+            for k in range(4)
+        )
+        return acc, sg
+
+    def _finish(self, acc):
+        """Padded accumulator -> finished facets [F, yB, yB] cdf."""
+        core = self.core
+        yN, yB, c = core.yN_size, self.yB_size, core.xM_yN_size
+        # wrap-row fold in true df32 (plain hi-plane adds would round)
+        head = _cdf_add(
+            tuple(p[:, :c, :] for p in acc),
+            tuple(p[:, yN:, :] for p in acc),
+        )
+        folded = tuple(
+            jnp.concatenate([head[k], acc[k][:, c:yN, :]], axis=1)
+            for k in range(4)
+        )
+        moved = tuple(jnp.moveaxis(p, 1, -1) for p in folded)  # [F,yB,yN]
+        g = df_fft_mxu(moved, inverse=False, keep=self.keep,
+                       n_chunks=self.n_chunks)
+
+        from ..ops.split_precision import df_mul
+
+        fb = self._Fb_yB
+        # [F, yB(cols), yB(rows)] -> [F, yB(rows), yB(cols)]
+        w = tuple(
+            jnp.swapaxes(
+                jax.vmap(lambda pf, ix: jnp.take(pf, ix, axis=1))(
+                    p, self._fin0_idx
+                ),
+                1, 2,
+            )
+            for p in g
+        )
+        fbb = (fb[0][None, :, None], fb[1][None, :, None])
+        re = df_mul((w[0], w[1]), fbb)
+        im = df_mul((w[2], w[3]), fbb)
+        mm = self._fmask0[:, :, None]
+        return tuple(p * mm for p in re + im)
+
+    # -------------------------------------------------------------- driver
+
+    @functools.cached_property
+    def _stream_fn(self):
+        yN, yB, c = (self.core.yN_size, self.yB_size,
+                     self.core.xM_yN_size)
+
+        @jax.jit
+        def run(facets_cdf, cols):
+            BF_F = self._prepare(facets_cdf)
+            acc0 = tuple(
+                jnp.zeros((self.F, yN + c, yB), jnp.float32)
+                for _ in range(4)
+            )
+
+            def body(acc, col):
+                acc, _ = self._column(BF_F, acc, col)
+                return acc, None
+
+            acc, _ = jax.lax.scan(body, acc0, cols)
+            return self._finish(acc)
+
+        return run
+
+    def roundtrip(self, facet_arrays):
+        """Full split-precision round trip.
+
+        :param facet_arrays: list of host complex arrays [yB, yB]
+        :return: ``(facets_out, n_subgrids)`` — host complex128 arrays
+        """
+        stacked = np.stack(
+            [np.asarray(f, dtype=np.complex128) for f in facet_arrays]
+        )
+        facets_cdf = cdf_from_c128(stacked)
+        plan = self.plan
+        cols = tuple(
+            jnp.asarray(a)
+            for a in (
+                np.asarray(plan.off0, np.int32),
+                np.asarray(plan.sg_off1, np.int32),
+                np.asarray(plan.valid, np.float32),
+                np.asarray(plan.mask0, np.float32),
+                np.asarray(plan.mask1, np.float32),
+                self._fold_targets(),
+            )
+        )
+        out_cdf = self._stream_fn(facets_cdf, cols)
+        out = cdf_to_c128(tuple(np.asarray(p) for p in out_cdf))
+        n = sum(len(cfgs) for cfgs in plan.configs)
+        return [out[i] for i in range(self.F)], n
