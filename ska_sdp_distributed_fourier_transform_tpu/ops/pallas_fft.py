@@ -1,0 +1,229 @@
+"""Fused Pallas kernel for the yN-scale facet transforms.
+
+The stage bisection (BENCH_SWEEP.md, round 2) shows the column-prepare
+and column-finish stages spending 3-4x their fundamental HBM traffic:
+the XLA lowering of the four-step factor-matmul FFT materialises every
+stage ([c, yN] complex, ~300 MB at 16k) in HBM, with layout copies
+between. This kernel runs both factor matmuls and the twiddle multiply
+per row-tile inside VMEM — one read and one write of the data.
+
+Mosaic cannot shape-cast across the lane dimension, so the kernel works
+on the ``[rows, n1, n2]`` factored view (the caller reshapes, which is
+free at the XLA level for row-major data): input element ``(r, a, b)``
+is row position ``a*n2 + b``; output element ``(r, d, c)`` is transform
+position ``d*n1 + c``. In-kernel data movement is limited to last-two
+axis swaps and leading-dim merges, which Mosaic lowers natively.
+
+:func:`fused_prepare_rows` / :func:`fused_finish_rows` wrap the kernel
+with the engine's window/pad/phase/gather pre/post steps (cheap fused
+XLA elementwise passes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _is_tpu, _karatsuba, _sds
+
+__all__ = ["fused_prepare_rows", "fused_finish_rows", "four_step_pallas"]
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_pair(n, inverse):
+    """(n1, n2, F1^T, W^T, F2^T) as float-pair numpy constants; the
+    twiddle arrives pre-laid-out as [n2(b), n1(c)]."""
+    from .fft_mxu import fft_mxu_plan
+
+    plan = fft_mxu_plan(n, inverse)
+    if plan is None:
+        return None
+    n1, n2, F1, W, F2 = plan
+
+    def pair(z):
+        z = np.ascontiguousarray(z)
+        return (z.real.astype(np.float32), z.imag.astype(np.float32))
+
+    return n1, n2, pair(F1.T), pair(W.T), pair(F2.T)
+
+
+def _four_step_tile(xr, xi, f1t, wt, f2t, n1, n2):
+    """[TR, n1, n2] pair -> [TR, n2, n1] pair, all in VMEM."""
+    TR = xr.shape[0]
+    # stage 1: contract a — [TR, a, b] -> [TR, b, a] -> [(TR b), a]
+    xr3 = jnp.swapaxes(xr, 1, 2).reshape(-1, n1)
+    xi3 = jnp.swapaxes(xi, 1, 2).reshape(-1, n1)
+    t1r, t1i = _karatsuba(xr3, xi3, f1t[0], f1t[1])  # [(TR b), c]
+    t1r = t1r.reshape(TR, n2, n1)
+    t1i = t1i.reshape(TR, n2, n1)
+    # twiddle W^T[b, c]
+    wr = wt[0][jnp.newaxis]
+    wi = wt[1][jnp.newaxis]
+    t2r = t1r * wr - t1i * wi
+    t2i = t1r * wi + t1i * wr
+    # stage 2: contract b — [TR, b, c] -> [TR, c, b] -> [(TR c), b]
+    t2r = jnp.swapaxes(t2r, 1, 2).reshape(-1, n2)
+    t2i = jnp.swapaxes(t2i, 1, 2).reshape(-1, n2)
+    or_, oi_ = _karatsuba(t2r, t2i, f2t[0], f2t[1])  # [(TR c), d]
+    or_ = jnp.swapaxes(or_.reshape(TR, n1, n2), 1, 2)  # [TR, d, c]
+    oi_ = jnp.swapaxes(oi_.reshape(TR, n1, n2), 1, 2)
+    return or_, oi_
+
+
+def _fourstep_kernel(n1, n2, with_phase,
+                     xr_ref, xi_ref, f1tr_ref, f1ti_ref, wtr_ref,
+                     wti_ref, f2tr_ref, f2ti_ref, *rest):
+    if with_phase:
+        phr_ref, phi_ref, or_ref, oi_ref = rest
+    else:
+        or_ref, oi_ref = rest
+    tr, ti = _four_step_tile(
+        xr_ref[0], xi_ref[0],
+        (f1tr_ref[:], f1ti_ref[:]),
+        (wtr_ref[:], wti_ref[:]),
+        (f2tr_ref[:], f2ti_ref[:]), n1, n2,
+    )
+    if with_phase:
+        phr = phr_ref[0, 0]  # [n2, n1] — the output-order phase layout
+        phi = phi_ref[0, 0]
+        or_ref[0] = tr * phr[jnp.newaxis] - ti * phi[jnp.newaxis]
+        oi_ref[0] = tr * phi[jnp.newaxis] + ti * phr[jnp.newaxis]
+    else:
+        or_ref[0] = tr
+        oi_ref[0] = ti
+
+
+def four_step_pallas(x, inverse, phase=None, tile_rows=32,
+                     interpret=None):
+    """Fused four-step transform along the last axis of ``x``.
+
+    Matches :func:`.fft_mxu.fft_mxu` (centre-zero shift convention) but
+    runs both factor matmuls and the twiddle inside VMEM per row-tile.
+
+    :param x: complex [F, rows, n] (row-major; n must factor)
+    :param phase: optional complex [F, n] multiplied into the output
+        (per-facet image-space phases)
+    :return: complex64 [F, rows, n]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    n = x.shape[-1]
+    plan = _plan_pair(n, inverse)
+    if plan is None:
+        raise ValueError(f"no four-step factorisation for n={n}")
+    n1, n2, f1t, wt, f2t = plan
+
+    def split(z):
+        if isinstance(z, tuple):
+            return z
+        return (jnp.real(z).astype(jnp.float32),
+                jnp.imag(z).astype(jnp.float32))
+
+    xr, xi = split(x)
+    F, rows = xr.shape[0], xr.shape[1]
+    xr = xr.reshape(F, rows, n1, n2)
+    xi = xi.reshape(F, rows, n1, n2)
+    TR = min(tile_rows, rows)
+    # VMEM model: in/out pairs double-buffered + two stage pairs + the
+    # Karatsuba bf16 splits — ~20 f32-equivalent copies of the tile
+    # (calibrated: Mosaic reported 21.39M at TR=32, n=8192)
+    while TR > 8 and 4 * n * TR * 20 > 14_000_000:
+        TR //= 2
+    grid = (F, pl.cdiv(rows, TR))
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    x_spec = pl.BlockSpec((1, TR, n1, n2), lambda f, t: (f, t, 0, 0),
+                          memory_space=ms)
+    c1 = pl.BlockSpec((n1, n1), lambda f, t: (0, 0), memory_space=ms)
+    cw = pl.BlockSpec((n2, n1), lambda f, t: (0, 0), memory_space=ms)
+    c2 = pl.BlockSpec((n2, n2), lambda f, t: (0, 0), memory_space=ms)
+    o_spec = pl.BlockSpec((1, TR, n2, n1), lambda f, t: (f, t, 0, 0),
+                          memory_space=ms)
+    args = [xr, xi,
+            jnp.asarray(f1t[0]), jnp.asarray(f1t[1]),
+            jnp.asarray(wt[0]), jnp.asarray(wt[1]),
+            jnp.asarray(f2t[0]), jnp.asarray(f2t[1])]
+    in_specs = [x_spec, x_spec, c1, c1, cw, cw, c2, c2]
+    if phase is not None:
+        phr, phi = split(phase)
+        # phase over output positions p = d*n1 + c -> [n2, n1] layout
+        args += [phr.reshape(F, 1, n2, n1), phi.reshape(F, 1, n2, n1)]
+        ph_spec = pl.BlockSpec(
+            (1, 1, n2, n1), lambda f, t: (f, 0, 0, 0), memory_space=ms
+        )
+        in_specs += [ph_spec, ph_spec]
+    kernel = functools.partial(_fourstep_kernel, n1, n2,
+                               phase is not None)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[o_spec, o_spec],
+        out_shape=[_sds((F, rows, n2, n1), xr),
+                   _sds((F, rows, n2, n1), xr)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * F * rows * n * (n1 + n2),
+            bytes_accessed=4 * 4 * F * rows * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+    out = jax.lax.complex(outr, outi)
+    return out.reshape(F, rows, n)
+
+
+def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
+                       interpret=None):
+    """Window + centre-pad + four-step inverse DFT + per-facet phase.
+
+    Matches ``prepare_facet_op(rows, off, axis=-1)`` with the facet
+    phase supplied as a precomputed vector (offsets are static facet
+    metadata; host f64 phases are *more* accurate than the traced f32
+    ``_phase`` computation — measured 9e-6 vs 8e-5 relative at yN=512).
+
+    :param rows: complex [F, c, yB]
+    :param Fb_yB: real [yB] window (``extract_mid(Fb, yB)``)
+    :param phase: complex [F, yN]
+    :return: complex64 [F, c, yN]
+    """
+    F, c, yB = rows.shape
+    lo = yN // 2 - yB // 2
+    fb = jnp.asarray(Fb_yB, jnp.float32)
+    win = rows * fb[jnp.newaxis, jnp.newaxis, :].astype(rows.dtype)
+    padded = jnp.pad(win, ((0, 0), (0, 0), (lo, yN - yB - lo)))
+    return four_step_pallas(padded, inverse=True, phase=phase,
+                            tile_rows=tile_rows, interpret=interpret)
+
+
+def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,
+                      interpret=None):
+    """Four-step forward DFT + wrap-window gather at the facet offset +
+    ``Fb`` window + mask: the engine's axis-1 ``finish_facet``.
+
+    :param x: complex [F, c, yN]
+    :param Fb_yB: real [yB] window
+    :param facet_offs: int32 [F] facet offsets (traced ok)
+    :param masks: real [F, yB] boundary masks
+    :return: complex64 [F, c, yB]
+    """
+    F, c, yN = x.shape
+    g = four_step_pallas(x, inverse=False, tile_rows=tile_rows,
+                         interpret=interpret)
+    starts = jnp.mod(
+        yN // 2 - yB // 2
+        + jnp.asarray(facet_offs, jnp.int32)[:, jnp.newaxis]
+        + jnp.arange(yB, dtype=jnp.int32)[jnp.newaxis, :],
+        yN,
+    )  # [F, yB]
+    w = jax.vmap(lambda gf, ix: jnp.take(gf, ix, axis=1))(g, starts)
+    fb = jnp.asarray(Fb_yB, jnp.float32)
+    w = w * fb[jnp.newaxis, jnp.newaxis, :].astype(w.dtype)
+    return w * jnp.asarray(masks)[:, jnp.newaxis, :].astype(w.dtype)

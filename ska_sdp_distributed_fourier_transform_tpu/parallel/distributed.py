@@ -297,6 +297,13 @@ class ShardedSwiftly:
         ])
         self._Fi_xM = linop.shifted_idft_matrix(xM)
         self._F_xM = linop.shifted_dft_matrix(xM)
+        # per-facet axis-1 image-space phase vectors for the fused
+        # prepare kernel (host f64 — exact roots of unity)
+        yN = core.yN_size
+        j = np.arange(yN) - yN // 2
+        self._ph1 = np.exp(
+            2j * np.pi / yN * np.outer(self._foff1.astype(np.int64), j)
+        )
 
     # ------------------------------------------------------------- packing
 
@@ -373,17 +380,47 @@ class ShardedSwiftly:
         prep_facet_scan = prep_facet
         fin_facet_scan = fin_facet
 
-        def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
-                                valid, mask0, mask1):
+        # yB-window of the grid-correction vector + per-facet phase
+        # vectors (host f64 — more accurate than the f32 cos/sin the
+        # traced _phase computes) for the fused transform kernels.
+        fb_yB = np.asarray(core._Fb, dtype=np.float64)[
+            (yN - 1) // 2 - self.yB_size // 2 :
+        ][: self.yB_size].astype(np.float32)
+        import os
+
+        # Experimental knob while the fused transform kernel is tuned:
+        # SWIFTLY_FUSED_FFT=both|fwd|bwd|off (default off — measured
+        # slower than the XLA factor-matmul path at 16k, see
+        # BENCH_SWEEP.md, but ~3x more accurate via the host-f64
+        # phases; revisit with larger tiles).
+        _fmode = os.environ.get("SWIFTLY_FUSED_FFT", "off")
+        use_pallas_fft = (use_pallas_fwd and fft_impl == "mxu"
+                          and _fmode in ("both", "fwd"))
+        use_pallas_fft_bwd = (use_pallas_fwd and fft_impl == "mxu"
+                              and _fmode in ("both", "bwd"))
+
+        def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
+                                sg_off1, valid, mask0, mask1):
             # Matmul formulation: the whole add_to_subgrid_2d + facet-sum
             # is one MXU einsum against precomputed per-facet operators;
             # finish_subgrid is a sandwich against offset-gathered rows of
             # the inverse-DFT matrix.
-            def col_one(bf, o1):
-                nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                return prep_facet_scan(nm, o1, 1, Fb, yN)
+            if use_pallas_fft:
+                from ..ops.pallas_fft import fused_prepare_rows
 
-            NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
+                rows = jax.vmap(
+                    lambda bf: extract_from_facet_fn(bf, off0, 0, N, yN,
+                                                     c)
+                )(BF_F)  # [Floc, c, yB]
+                NMBF_BF = fused_prepare_rows(
+                    rows, fb_yB, ph1, yN
+                ).astype(cdtype)
+            else:
+                def col_one(bf, o1):
+                    nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
+                    return prep_facet_scan(nm, o1, 1, Fb, yN)
+
+                NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
             def per_sg(o1b):
                 return jax.vmap(
@@ -537,12 +574,21 @@ class ShardedSwiftly:
             NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
             NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
 
-            NAF_BMNAF = jax.vmap(
-                lambda a, o1f: fin_facet_scan(a, o1f, yB, 1, Fb)
-            )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
-            NAF_BMNAF = NAF_BMNAF * _my(
-                fmask1, d, NAF_MNAF.shape[0]
-            )[:, jnp.newaxis, :]
+            if use_pallas_fft_bwd:
+                from ..ops.pallas_fft import fused_finish_rows
+
+                NAF_BMNAF = fused_finish_rows(
+                    NAF_MNAF, fb_yB,
+                    _my(foff1, d, NAF_MNAF.shape[0]),
+                    _my(fmask1, d, NAF_MNAF.shape[0]), yB,
+                ).astype(cdtype)
+            else:
+                NAF_BMNAF = jax.vmap(
+                    lambda a, o1f: fin_facet_scan(a, o1f, yB, 1, Fb)
+                )(NAF_MNAF, _my(foff1, d, NAF_MNAF.shape[0]))
+                NAF_BMNAF = NAF_BMNAF * _my(
+                    fmask1, d, NAF_MNAF.shape[0]
+                )[:, jnp.newaxis, :]
 
             # add_to_facet axis=0, fused: the c finished rows scatter
             # straight into the accumulator instead of padding each
@@ -773,7 +819,8 @@ class ShardedSwiftly:
         if self._operator_mode:
 
             def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
-                             foff1, foff1_r, fmask0, fmask1_r, cols):
+                             foff1, ph1, foff1_r, fmask0, fmask1_r,
+                             cols):
                 BF_F = prepare_local(facets, foff0)
                 # the carry is an f32 (real, imag) pair: float scatters
                 # are the native TPU path, and complex scatters on a scan
@@ -788,8 +835,8 @@ class ShardedSwiftly:
                     if k == 1:
                         off0, sg_off1, valid, mask0, mask1 = col
                         sg = fwd_column_local_mm(
-                            BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
-                            valid, mask0, mask1,
+                            BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
+                            sg_off1, valid, mask0, mask1,
                         )
                         acc = bwd_column_pair_mm(
                             sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
@@ -805,8 +852,8 @@ class ShardedSwiftly:
                     sgs = jax.vmap(
                         lambda off0, sg_off1, valid, mask0, mask1:
                         fwd_column_local_mm(
-                            BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
-                            valid, mask0, mask1,
+                            BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
+                            sg_off1, valid, mask0, mask1,
                         )
                     )(*col)
                     for i in range(k):
@@ -823,7 +870,7 @@ class ShardedSwiftly:
                 return accum
 
             def stream_fwd_local(facets, A0, A1, Fi_xM, foff0, foff1,
-                                 cols):
+                                 ph1, cols):
                 # Degridding direction: produce every column's subgrids
                 # [C, Bloc, xA, xA], one compiled dispatch.
                 BF_F = prepare_local(facets, foff0)
@@ -831,7 +878,7 @@ class ShardedSwiftly:
                 def body(_, col):
                     off0, sg_off1, valid, mask0, mask1 = col
                     sg = fwd_column_local_mm(
-                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                        BF_F, A0, A1, Fi_xM, foff1, ph1, off0, sg_off1,
                         valid, mask0, mask1,
                     )
                     return 0, sg
@@ -860,8 +907,8 @@ class ShardedSwiftly:
                 return accum
 
             def stream_segment_local(BF_F, acc_pair, A0, A1, Fi_xM, F_xM,
-                                     E0, E1, foff1, foff1_r, fmask1_r,
-                                     cols):
+                                     E0, E1, foff1, ph1, foff1_r,
+                                     fmask1_r, cols):
                 # Checkpointable slice of the fused stream: scan a subset
                 # of columns carrying an existing accumulator pair. Used
                 # by roundtrip_checkpointed — the scan is chunked at
@@ -870,7 +917,7 @@ class ShardedSwiftly:
                 def body(acc, col):
                     off0, sg_off1, valid, mask0, mask1 = col
                     sg = fwd_column_local_mm(
-                        BF_F, A0, A1, Fi_xM, foff1, off0, sg_off1,
+                        BF_F, A0, A1, Fi_xM, foff1, ph1, off0, sg_off1,
                         valid, mask0, mask1,
                     )
                     acc = bwd_column_pair_mm(
@@ -886,7 +933,7 @@ class ShardedSwiftly:
             self._stream = jax.jit(
                 shmap(
                     stream_local,
-                    in_specs=(t, t, t, r, r, r, r, t, t, r, t, r,
+                    in_specs=(t, t, t, r, r, r, r, t, t, t, r, t, r,
                               col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
@@ -895,7 +942,7 @@ class ShardedSwiftly:
                 shmap(
                     stream_segment_local,
                     in_specs=(t, P(None, TILE_AXIS), t, t, r, r, r, r,
-                              t, r, r, col_spec),
+                              t, t, r, r, col_spec),
                     out_specs=P(None, TILE_AXIS),
                 ),
                 donate_argnums=(1,),
@@ -903,7 +950,7 @@ class ShardedSwiftly:
             self._stream_fwd = jax.jit(
                 shmap(
                     stream_fwd_local,
-                    in_specs=(t, t, t, r, t, t, col_spec),
+                    in_specs=(t, t, t, r, t, t, t, col_spec),
                     # ys are stacked per column: [C, Bloc, xA, xA] with
                     # the batch axis sharded
                     out_specs=P(None, TILE_AXIS),
@@ -996,6 +1043,7 @@ class ShardedSwiftly:
                 self._dev_c("A1", self._A1),
                 self._dev_c("Fi", self._Fi_xM, repl=True),
                 self._dev(self._foff1),
+                self._dev_c("ph1", self._ph1),
                 off0, sg_off1, valid, mask0, mask1,
             )
         return (
@@ -1146,6 +1194,7 @@ class ShardedSwiftly:
             self._dev_c("Fi", self._Fi_xM, repl=True),
             self._dev(self._foff0),
             self._dev(self._foff1),
+            self._dev_c("ph1", self._ph1),
             cols,
         )
 
@@ -1187,6 +1236,7 @@ class ShardedSwiftly:
                 self._dev_c("E1", self._E1, repl=True),
                 self._dev(self._foff0),
                 self._dev(self._foff1),
+                self._dev_c("ph1", self._ph1),
                 self._dev(self._foff1, repl=True),
                 self._dev(self._fmask0),
                 self._dev(self._fmask1, repl=True),
@@ -1249,6 +1299,7 @@ class ShardedSwiftly:
             self._dev_c("E0", self._E0, repl=True),
             self._dev_c("E1", self._E1, repl=True),
             self._dev(self._foff1),
+            self._dev_c("ph1", self._ph1),
             self._dev(self._foff1, repl=True),
             self._dev(self._fmask1, repl=True),
             cols,
