@@ -142,7 +142,24 @@ def main():
 
     log("round trip...")
     t0 = time.perf_counter()
-    out, n_sg = engine.roundtrip(packed, fused=args.fused)
+    if args.fused:
+        out, n_sg = engine.roundtrip(packed, fused=True)
+    else:
+        # per-column driving with progress logging (hours-long on a
+        # single-core virtual mesh — the log is the progress record)
+        BF_F = engine.prepare_facets(packed)
+        log(f"prepared in {time.perf_counter() - t0:.0f}s")
+        accum = engine.zero_accumulator()
+        n_sg = 0
+        for ci in range(engine.plan.n_columns):
+            sg = engine.forward_column(BF_F, ci)
+            accum = engine.backward_column(sg, ci, accum)
+            accum.block_until_ready()
+            n_sg += len(engine.plan.configs[ci])
+            log(f"column {ci + 1}/{engine.plan.n_columns} done "
+                f"({time.perf_counter() - t0:.0f}s)")
+        del BF_F, sg
+        out = engine.finish_facets(accum)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 

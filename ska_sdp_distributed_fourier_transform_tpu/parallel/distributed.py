@@ -388,12 +388,13 @@ class ShardedSwiftly:
         ][: self.yB_size].astype(np.float32)
         import os
 
-        # Experimental knob while the fused transform kernel is tuned:
-        # SWIFTLY_FUSED_FFT=both|fwd|bwd|off (default off — measured
-        # slower than the XLA factor-matmul path at 16k, see
-        # BENCH_SWEEP.md, but ~3x more accurate via the host-f64
-        # phases; revisit with larger tiles).
-        _fmode = os.environ.get("SWIFTLY_FUSED_FFT", "off")
+        # Fused four-step transform kernel (ops/pallas_fft.py).
+        # SWIFTLY_FUSED_FFT=fwd|bwd|both|off. Measured at 16k on v5e:
+        # fwd-only 1101 sg/s @ RMSE 1.40e-7 (default — beats the XLA
+        # factor-matmul path 1070 @ 3.4e-7 on both axes), bwd-only
+        # neutral, both together regress to 806 (VMEM pressure in the
+        # combined module). Host-f64 phases are the accuracy win.
+        _fmode = os.environ.get("SWIFTLY_FUSED_FFT", "fwd")
         use_pallas_fft = (use_pallas_fwd and fft_impl == "mxu"
                           and _fmode in ("both", "fwd"))
         use_pallas_fft_bwd = (use_pallas_fwd and fft_impl == "mxu"
@@ -758,7 +759,7 @@ class ShardedSwiftly:
             self._fwd_column = jax.jit(
                 shmap(
                     fwd_column_local_mm,
-                    in_specs=(t, t, t, r, t, r, r, r, r, r),
+                    in_specs=(t, t, t, r, t, t, r, r, r, r, r),
                     out_specs=t,
                 )
             )
