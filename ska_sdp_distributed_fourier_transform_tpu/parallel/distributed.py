@@ -864,7 +864,11 @@ class ShardedSwiftly:
                         )
                     return acc, None
 
-                accum, _ = jax.lax.scan(body, accum0, cols)
+                accum, _ = jax.lax.scan(
+                    body, accum0, cols,
+                    unroll=int(os.environ.get("SWIFTLY_SCAN_UNROLL",
+                                              "1")),
+                )
                 # finishing happens in a separate program: fusing the
                 # axis-0 finish into the same module as the scan
                 # miscompiles on some shapes (TPU kernel fault)
