@@ -99,7 +99,7 @@ def _fourstep_kernel(n1, n2, with_phase,
 
 
 def four_step_pallas(x, inverse, phase=None, tile_rows=32,
-                     interpret=None):
+                     interpret=None, as_pair=False):
     """Fused four-step transform along the last axis of ``x``.
 
     Matches :func:`.fft_mxu.fft_mxu` (centre-zero shift convention) but
@@ -176,12 +176,14 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         ),
         interpret=interpret,
     )(*args)
+    if as_pair:
+        return outr.reshape(F, rows, n), outi.reshape(F, rows, n)
     out = jax.lax.complex(outr, outi)
     return out.reshape(F, rows, n)
 
 
 def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
-                       interpret=None):
+                       interpret=None, as_pair=False):
     """Window + centre-pad + four-step inverse DFT + per-facet phase.
 
     Matches ``prepare_facet_op(rows, off, axis=-1)`` with the facet
@@ -200,7 +202,8 @@ def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
     win = rows * fb[jnp.newaxis, jnp.newaxis, :].astype(rows.dtype)
     padded = jnp.pad(win, ((0, 0), (0, 0), (lo, yN - yB - lo)))
     return four_step_pallas(padded, inverse=True, phase=phase,
-                            tile_rows=tile_rows, interpret=interpret)
+                            tile_rows=tile_rows, interpret=interpret,
+                            as_pair=as_pair)
 
 
 def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,

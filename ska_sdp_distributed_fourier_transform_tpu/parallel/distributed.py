@@ -413,6 +413,11 @@ class ShardedSwiftly:
                     lambda bf: extract_from_facet_fn(bf, off0, 0, N, yN,
                                                      c)
                 )(BF_F)  # [Floc, c, yB]
+                # complex output: pair-threading to the sandwich was
+                # measured SLOWER (1046 vs 1101 sg/s at 16k) — XLA
+                # already fuses the complex<->pair conversions into the
+                # window gathers, and per-plane gathers double the
+                # gather count
                 NMBF_BF = fused_prepare_rows(
                     rows, fb_yB, ph1, yN
                 ).astype(cdtype)
