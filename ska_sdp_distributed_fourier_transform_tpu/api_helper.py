@@ -181,29 +181,38 @@ def extract_column(core, BF_F, subgrid_off0, facet_off1):
 # ------------------------------------------------------------------ covers
 
 
+def _axis_cover(N, chunk_size):
+    """Per-axis tile cover: (offset, in-tile mask slice) pairs.
+
+    Tiles sit at multiples of ``chunk_size``; each owns the pixels up to
+    the halfway border with its neighbours (cyclically), expressed as one
+    slice in tile-local coordinates (semantics per reference
+    api_helper.py:213-240; vectorised construction).
+    """
+    n_tiles = -(-N // chunk_size)
+    offs = chunk_size * np.arange(n_tiles)
+    nxt = np.roll(offs, -1)
+    nxt[-1] += N  # cyclic successor of the last tile
+    hi_border = (offs + nxt) // 2
+    lo_border = np.roll(hi_border, 1)  # previous tile's upper border
+    half = chunk_size // 2
+    lo = (lo_border - offs + half) % N
+    hi = hi_border - offs + half
+    return [
+        (int(o), [[slice(int(a), int(b))], int(chunk_size)])
+        for o, a, b in zip(offs, lo, hi)
+    ]
+
+
 def make_full_cover_config(N, chunk_size, cls):
-    """Full-image tile cover: offsets at multiples of ``chunk_size``,
-    borders halfway between neighbours (wrapping), per-tile boundary masks
-    stored lazily as slice lists (reference: api_helper.py:213-240)."""
-    offsets = chunk_size * np.arange(int(np.ceil(N / chunk_size)))
-    border = (offsets + np.hstack([offsets[1:], [N + offsets[0]]])) // 2
-    config_list = []
-    for idx0, off0 in enumerate(offsets):
-        for idx1, off1 in enumerate(offsets):
-            left0 = (border[idx0 - 1] - off0 + chunk_size // 2) % N
-            right0 = border[idx0] - off0 + chunk_size // 2
-            left1 = (border[idx1 - 1] - off1 + chunk_size // 2) % N
-            right1 = border[idx1] - off1 + chunk_size // 2
-            config_list.append(
-                cls(
-                    int(off0),
-                    int(off1),
-                    int(chunk_size),
-                    [[slice(int(left0), int(right0))], int(chunk_size)],
-                    [[slice(int(left1), int(right1))], int(chunk_size)],
-                )
-            )
-    return config_list
+    """Full-image 2-D tile cover as the outer product of the per-axis
+    cover — every pixel in exactly one tile (partition of unity)."""
+    axis = _axis_cover(N, chunk_size)
+    return [
+        cls(off0, off1, int(chunk_size), mask0, mask1)
+        for off0, mask0 in axis
+        for off1, mask1 in axis
+    ]
 
 
 def make_mask_from_slice(slice_list, mask_size):
