@@ -26,6 +26,7 @@ this module is the tile-at-a-time streaming API.
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 
 import jax
 
@@ -389,40 +390,36 @@ class TaskQueue:
 
 
 class LRUCache:
-    """List+dict LRU; ``set`` returns the evicted (key, value) when over
-    capacity — the eviction return value drives the backward accumulation
-    (reference: api.py:525-590)."""
+    """Ordered-dict LRU with the eviction-driving contract: ``set``
+    returns the evicted ``(key, value)`` when over capacity — the
+    backward engine folds the evicted column on that signal (same
+    contract as reference api.py:525-590; insertion order in an
+    ``OrderedDict`` is the recency queue)."""
 
     def __init__(self, cache_size):
         self.cache_size = cache_size
-        self.queue = []
-        self.hash_map = {}
+        self._entries = OrderedDict()
 
     def get(self, key):
         """Look up a key, refreshing its recency on hit."""
-        res = self.hash_map.get(key, None)
-        if res is not None:
-            self.queue.remove(key)
-            self.queue.append(key)
-        return res
+        if key not in self._entries:
+            return None
+        self._entries.move_to_end(key)
+        return self._entries[key]
 
     def set(self, key, value):
-        """Insert/refresh a key; returns the evicted ``(key, value)`` pair
-        when the cache overflows, else ``(None, None)``."""
-        self.hash_map[key] = value
-        if key in self.queue:
-            self.queue.remove(key)
-        self.queue.append(key)
-        if len(self.hash_map) <= self.cache_size:
+        """Insert/refresh a key; returns the evicted ``(key, value)``
+        pair when the cache overflows, else ``(None, None)``."""
+        self._entries[key] = value
+        self._entries.move_to_end(key)
+        if len(self._entries) <= self.cache_size:
             return None, None
-        lru_key = self.queue.pop(0)
-        return lru_key, self.hash_map.pop(lru_key)
+        return self._entries.popitem(last=False)
 
     def pop_all(self):
         """Drain the cache oldest-first, yielding (key, value) pairs."""
-        while self.hash_map:
-            lru_key = self.queue.pop(0)
-            yield lru_key, self.hash_map.pop(lru_key)
+        while self._entries:
+            yield self._entries.popitem(last=False)
 
 
 def make_full_subgrid_cover(swiftlyconfig):
