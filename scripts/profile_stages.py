@@ -212,6 +212,31 @@ def main():
                 rows = rows * fmask1[:, jnp.newaxis, :]
                 out = rows
 
+            if k >= 8:
+                # S8: the padded-DUS accumulator fold on a real carried
+                # accumulator pair (the full backward, matching the
+                # production stream's carry)
+                u = jnp.stack(
+                    [jnp.real(rows), jnp.imag(rows)]
+                ).astype(jnp.float32)
+                s0 = jnp.floor_divide(off0.astype(jnp.int32), N // yN)
+                u = jnp.roll(u, -s0, axis=2)
+                start = (yN // 2 - c // 2 + s0) % yN
+                zero = jnp.zeros((), jnp.int32)
+                acc = carry[1]
+                blk = jax.lax.dynamic_slice(
+                    acc, (zero, zero, start, zero),
+                    (2, acc.shape[1], c, acc.shape[3]),
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc, blk + u, (zero, zero, start, zero)
+                )
+                red = jnp.sum(jnp.abs(jnp.real(out))) + carry[0]
+                return (red, acc), None
+
+            if isinstance(carry, tuple):
+                red = jnp.sum(jnp.abs(jnp.real(out))) + carry[0]
+                return (red, carry[1]), None
             red = jnp.sum(jnp.abs(jnp.real(out))) + carry
             return red, None
 
@@ -227,6 +252,7 @@ def main():
         5: "S5 backward prepare sandwich",
         6: "S6 backward extraction sandwich",
         7: "S7 fold scatter + axis-1 finish",
+        8: "S8 accumulator DUS fold (carried)",
     }
     C = engine.plan.n_columns
 
@@ -242,6 +268,13 @@ def main():
                 E1=E1_, foff1=foff1_, fmask1=fmask1_,
             )
             body = stage_body(k, nonlocal_env)
+            if k >= 8:
+                acc0 = jnp.zeros(
+                    (2, F_pad, yN + c, yB), core.real_dtype
+                )
+                init = (jnp.zeros((), core.real_dtype), acc0)
+                (red, acc), _ = jax.lax.scan(body, init, cols_)
+                return red + jnp.sum(acc[:, :, ::997, ::499])
             return jax.lax.scan(
                 body, jnp.zeros((), core.real_dtype), cols_
             )[0]
@@ -249,7 +282,7 @@ def main():
         return lambda: prog(BF_F, A0, A1, Fi, Fm, E0, E1, foff1,
                             fmask1, cols)
 
-    for k in range(1, 8):
+    for k in range(1, 9):
         prog = make_prog(k)
         r = prog()
         r.block_until_ready()  # compile+run
