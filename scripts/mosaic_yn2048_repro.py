@@ -10,8 +10,16 @@ demotes itself to the XLA FFT at yN=2048 (~5% cost on 4k-class configs).
 
 This script is the smallest reproducer we found: a scan whose body runs
 one ``fft_mxu`` of length 2048 over a [512, 2048] batch. Run it after a
-jax/Mosaic upgrade; if it completes, drop the demotion in
-`ShardedSwiftly._build_programs` (and `StreamedSwiftly.__init__`).
+jax/Mosaic upgrade; if it completes, re-test the FULL engine too
+(``bench.py --swift_config 4k[1]-n2k-512`` with the demotion commented
+out) before dropping the demotion in `ShardedSwiftly._build_programs`
+(and `StreamedSwiftly.__init__`).
+
+Status 2026-08-17, jax 0.9.0: this minimised repro runs CLEAN but the
+full 4k[1]-n2k-512 engine still kernel-faults — the repro
+under-constrains the trigger (likely needs the full stream module:
+Pallas sandwich kernels + collectives + the larger scan). The demotion
+stays.
 
 WARNING: on the tunnelled single-chip attachment a kernel fault wedges
 the far-end TPU server for 20-60 min. Run this only when nothing else

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -196,7 +197,7 @@ class ShardedSwiftly:
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high",
                  process_subgrid=None, columns_per_step=1,
-                 fft_impl="mxu"):
+                 fft_impl="mxu", fused_fft=None, scan_unroll=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -222,6 +223,21 @@ class ShardedSwiftly:
         if fft_impl not in ("xla", "mxu"):
             raise ValueError(f"Unknown fft_impl: {fft_impl}")
         self.fft_impl = fft_impl
+        # Which side(s) of the stream use the fused four-step transform
+        # kernel (ops/pallas_fft.py): "fwd" (default — measured best,
+        # see _build_programs), "bwd", "both", or "off". None defers to
+        # the SWIFTLY_FUSED_FFT env knob.
+        if fused_fft is None:
+            fused_fft = os.environ.get("SWIFTLY_FUSED_FFT", "fwd")
+        if fused_fft not in ("off", "fwd", "bwd", "both"):
+            raise ValueError(f"Unknown fused_fft: {fused_fft}")
+        self.fused_fft = fused_fft
+        # Unroll factor for the fused whole-stream column scan; None
+        # defers to the SWIFTLY_SCAN_UNROLL env knob (default 1 —
+        # unrolling measured neutral-to-negative at 16k on v5e).
+        if scan_unroll is None:
+            scan_unroll = int(os.environ.get("SWIFTLY_SCAN_UNROLL", "1"))
+        self.scan_unroll = int(scan_unroll)
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -369,6 +385,9 @@ class ShardedSwiftly:
         # the pure XLA-FFT engine is validated good at this size (and
         # yN=8192 is validated good *with* mxu, where it is ~23% faster
         # end-to-end). Demote the whole engine to the XLA FFT there.
+        # Re-tested on jax 0.9.0 (2026-08-17): the minimised repro
+        # (scripts/mosaic_yn2048_repro.py) now runs clean but the full
+        # engine still faults — the repro under-constrains the trigger.
         if fft_impl == "mxu" and yN == 2048:
             fft_impl = "xla"
         if fft_impl == "mxu":
@@ -386,15 +405,14 @@ class ShardedSwiftly:
         fb_yB = np.asarray(core._Fb, dtype=np.float64)[
             (yN - 1) // 2 - self.yB_size // 2 :
         ][: self.yB_size].astype(np.float32)
-        import os
 
         # Fused four-step transform kernel (ops/pallas_fft.py).
-        # SWIFTLY_FUSED_FFT=fwd|bwd|both|off. Measured at 16k on v5e:
+        # fused_fft=fwd|bwd|both|off. Measured at 16k on v5e:
         # fwd-only 1101 sg/s @ RMSE 1.40e-7 (default — beats the XLA
         # factor-matmul path 1070 @ 3.4e-7 on both axes), bwd-only
         # neutral, both together regress to 806 (VMEM pressure in the
         # combined module). Host-f64 phases are the accuracy win.
-        _fmode = os.environ.get("SWIFTLY_FUSED_FFT", "fwd")
+        _fmode = self.fused_fft
         use_pallas_fft = (use_pallas_fwd and fft_impl == "mxu"
                           and _fmode in ("both", "fwd"))
         use_pallas_fft_bwd = (use_pallas_fwd and fft_impl == "mxu"
@@ -870,9 +888,7 @@ class ShardedSwiftly:
                     return acc, None
 
                 accum, _ = jax.lax.scan(
-                    body, accum0, cols,
-                    unroll=int(os.environ.get("SWIFTLY_SCAN_UNROLL",
-                                              "1")),
+                    body, accum0, cols, unroll=self.scan_unroll,
                 )
                 # finishing happens in a separate program: fusing the
                 # axis-0 finish into the same module as the scan

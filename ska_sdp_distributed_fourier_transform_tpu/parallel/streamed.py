@@ -73,7 +73,8 @@ class StreamedSwiftly:
         self.precision = jax.lax.Precision(precision)
         if fft_impl not in ("xla", "mxu"):
             raise ValueError(f"Unknown fft_impl: {fft_impl}")
-        # Same Mosaic workaround as ShardedSwiftly._build_programs.
+        # Same Mosaic workaround as ShardedSwiftly._build_programs
+        # (still faults on jax 0.9.0; minimised repro passes).
         if fft_impl == "mxu" and core.yN_size == 2048:
             fft_impl = "xla"
         self.fft_impl = fft_impl
