@@ -63,7 +63,7 @@ def build_device_facets(engine, facet_cfgs, sources, N):
     return build(fs, i0s, i1s, vals, m0, m1)
 
 
-def split_roundtrip(params, sources):
+def split_roundtrip(params, sources, kernel=None):
     """Timed round trip on the split-precision (double-f32, exact
     chunked MXU) tier — f64-class accuracy from bf16/f32 hardware."""
     import functools
@@ -83,7 +83,7 @@ def split_roundtrip(params, sources):
     config = SwiftlyConfig(dtype=jnp.complex64, **params)
     fc = make_full_facet_cover(config)
     sg = make_full_subgrid_cover(config)
-    eng = SplitSwiftly(config._core, fc, sg)
+    eng = SplitSwiftly(config._core, fc, sg, kernel=kernel)
     N = config.image_size
     yB = eng.yB_size
 
@@ -376,6 +376,10 @@ def main():
                     help="MXU precision for the operator contractions; "
                     "'split' runs the double-f32 exact-chunked tier "
                     "(f64-class accuracy, single chip)")
+    ap.add_argument("--split_kernel", default=None,
+                    choices=["pallas", "xla"],
+                    help="contraction backend for --precision split "
+                    "(default: pallas on TPU, xla elsewhere)")
     ap.add_argument("--skip_baseline", action="store_true")
     args = ap.parse_args()
 
@@ -398,7 +402,7 @@ def main():
     try:
         if args.precision == "split":
             sgps, elapsed, n_subgrids, rmse = split_roundtrip(
-                params, sources
+                params, sources, kernel=args.split_kernel
             )
         else:
             sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import operators as linop
+from ..ops.pallas_split import (
+    dfc_matmul,
+    df_fft_pallas,
+    gather_prechunked_rows,
+    prechunk_const,
+)
 from ..ops.primitives import pad_mid
 from ..ops.split_precision import (
     cdf_from_c128,
@@ -46,6 +52,13 @@ from ..ops.split_precision import (
 from .distributed import ColumnPlan
 
 __all__ = ["SplitSwiftly"]
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _cdf_map(fn, x):
@@ -126,7 +139,7 @@ class SplitSwiftly:
     """
 
     def __init__(self, core, facet_configs, subgrid_configs,
-                 keep=5, n_chunks=6):
+                 keep=5, n_chunks=6, kernel=None):
         #: n_chunks bounds the operand representation (7 bits/chunk,
         #: error ~2^-7*n_chunks of the matrix max); keep bounds the
         #: chunk-pair diagonals computed — dropped diagonals contribute
@@ -137,6 +150,16 @@ class SplitSwiftly:
         #: keep=6/n_chunks=7 is full double-float (~1e-12) at 28 dots.
         self.keep = keep
         self.n_chunks = n_chunks
+        #: ``kernel="pallas"`` computes every contraction with the
+        #: fused chunk+dot+combine Pallas kernel
+        #: (:mod:`..ops.pallas_split`) — same accuracy class, a
+        #: fraction of the runtime of the XLA formulation ("xla").
+        #: ``None`` auto-selects pallas on TPU.
+        if kernel is None:
+            kernel = "pallas" if _is_tpu() else "xla"
+        if kernel not in ("pallas", "xla"):
+            raise ValueError(f"Unknown kernel: {kernel}")
+        self.kernel = kernel
         self.core = core
         sizes = {cfg.size for cfg in facet_configs}
         if len(sizes) != 1:
@@ -152,16 +175,25 @@ class SplitSwiftly:
         )
         self.F = len(self.facet_configs)
         self._build_constants()
-        # Warm the split-FFT constant cache OUTSIDE any trace: the
+        # Warm the split-FFT constant caches OUTSIDE any trace: the
         # lru_cache'd device constants must not be born inside the scan
         # trace (tracer leak).
+        from ..ops.pallas_split import _df_fft_consts_pc
         from ..ops.split_precision import _df_fft_consts
 
+        warm = (_df_fft_consts_pc if self.kernel == "pallas"
+                else _df_fft_consts)
         for inverse in (True, False):
-            if _df_fft_consts(core.yN_size, inverse) is None:
+            if warm(core.yN_size, inverse) is None:
                 raise ValueError(
                     f"yN={core.yN_size} has no four-step factorisation"
                 )
+
+    def _fft(self, x_cdf, inverse):
+        if self.kernel == "pallas":
+            return df_fft_pallas(x_cdf, inverse=inverse)
+        return df_fft_mxu(x_cdf, inverse=inverse, keep=self.keep,
+                          n_chunks=self.n_chunks)
 
     # ----------------------------------------------------------- constants
 
@@ -203,24 +235,48 @@ class SplitSwiftly:
 
         # operator matrices (host f64, exact split)
         Fn = np.asarray(core._Fn, dtype=np.float64)
-        self._A0 = cdf_from_c128(np.stack([
+        A0 = np.stack([
             linop.add_to_subgrid_operator(N, xM, c, Fn, int(o))
             for o in foff0
-        ]))  # [F, xM, c]
-        self._A1t = cdf_from_c128(np.stack([
+        ])  # [F, xM, c]
+        A1t = np.stack([
             linop.add_to_subgrid_operator(N, xM, c, Fn, int(o)).T
             for o in foff1
-        ]))  # [F, c, xM]
-        self._E0 = cdf_from_c128(np.stack([
+        ])  # [F, c, xM]
+        E0 = np.stack([
             linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o))
             for o in foff0
-        ]))  # [F, c, xM]
-        self._E1t = cdf_from_c128(np.stack([
+        ])  # [F, c, xM]
+        E1t = np.stack([
             linop.extract_from_subgrid_operator(N, xM, c, Fn, int(o)).T
             for o in foff1
-        ]))  # [F, xM, c]
-        self._Fi = cdf_from_c128(linop.shifted_idft_matrix(xM))
-        self._Fm = cdf_from_c128(linop.shifted_dft_matrix(xM))
+        ])  # [F, xM, c]
+        Fi = linop.shifted_idft_matrix(xM)
+        Fm = linop.shifted_dft_matrix(xM)
+        self._A0 = cdf_from_c128(A0)
+        self._A1t = cdf_from_c128(A1t)
+        self._E0 = cdf_from_c128(E0)
+        self._E1t = cdf_from_c128(E1t)
+        self._Fi = cdf_from_c128(Fi)
+        self._Fm = cdf_from_c128(Fm)
+        if self.kernel == "pallas":
+            # pre-chunked forms for the fused kernel (K = the
+            # contraction depth each operand is used with)
+            xA = self.xA_size
+            self._A0_pc = prechunk_const(A0, K=c)  # left, [F,m,xM,c]
+            self._A1t_pc = prechunk_const(A1t, K=c)  # right
+            self._E0all_pc = prechunk_const(
+                E0.reshape(1, F * c, xM), K=xM
+            )  # left, G=1
+            self._E1t_pc = prechunk_const(E1t, K=xM)  # right
+            # DFT matrices kept whole for runtime row gathers:
+            # Fi rows feed the finish sandwich (contraction over xM);
+            # Fm columns feed the prepare sandwich (contraction over
+            # xA) — stored transposed so gathers are row gathers.
+            self._Fi_pc = prechunk_const(Fi, K=xM)
+            self._FmT_pc = prechunk_const(
+                np.ascontiguousarray(Fm.T), K=xA
+            )
 
         # static per-facet wrap-window gather indices for the finishes
         base = np.arange(yB)
@@ -294,8 +350,7 @@ class SplitSwiftly:
         win = wre + wim  # [F, yB, yB]
         padded = tuple(pad_mid(p, yN, 1) for p in win)  # [F, yN, yB]
         moved = tuple(jnp.swapaxes(p, 1, 2) for p in padded)  # [F,yB,yN]
-        tr = df_fft_mxu(moved, inverse=True, keep=self.keep,
-                        n_chunks=self.n_chunks)
+        tr = self._fft(moved, True)
         ph = tuple(p[:, None, :] for p in self._phase0)  # [F, 1, yN]
         tr = df_cmul(tr, tuple(jnp.broadcast_to(p, tr[0].shape)
                                for p in ph))
@@ -325,8 +380,7 @@ class SplitSwiftly:
                                           fb[1][None, None, :]))
         win = wre + wim
         padded = tuple(pad_mid(p, yN, 2) for p in win)  # [F, c, yN]
-        NMBF_BF = df_fft_mxu(padded, inverse=True, keep=self.keep,
-                             n_chunks=self.n_chunks)
+        NMBF_BF = self._fft(padded, True)
         ph1 = tuple(p[:, None, :] for p in self._phase1)
         NMBF_BF = df_cmul(
             NMBF_BF,
@@ -351,58 +405,86 @@ class SplitSwiftly:
         Xf = tuple(
             p.transpose(1, 2, 0, 3).reshape(F, c, B * c) for p in X
         )
-        T = _pair_cmatmul(self._A0, Xf, self.keep,
-                          self.n_chunks)  # [F, xM, B*c]
+        if self.kernel == "pallas":
+            T = dfc_matmul(Xf, self._A0_pc, "left")  # [F, xM, B*c]
+        else:
+            T = _pair_cmatmul(self._A0, Xf, self.keep, self.n_chunks)
         Tv = tuple(
             p.reshape(F, xM, B, c).transpose(0, 2, 1, 3)
             .reshape(F, B * xM, c)
             for p in T
         )
-        S = _pair_cmatmul(Tv, self._A1t, self.keep,
-                          self.n_chunks)  # [F, B*xM, xM]
+        if self.kernel == "pallas":
+            S = dfc_matmul(Tv, self._A1t_pc, "right")  # [F, B*xM, xM]
+        else:
+            S = _pair_cmatmul(Tv, self._A1t, self.keep, self.n_chunks)
         Sv = tuple(p.reshape(F, B, xM, xM) for p in S)
         summed = _cdf_sum0(Sv)  # [B, xM, xM]
 
         # --- finish sandwich -> subgrids -------------------------------
         base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
         g0_rows = (base + off0) % xM
-        G0 = tuple(jnp.take(p, g0_rows, axis=0) for p in self._Fi)
         g1_rows = (base[None, :] + sg_off1[:, None]) % xM  # [B, xA]
-        G1t = tuple(
-            jnp.take(p, g1_rows, axis=0).transpose(0, 2, 1)
-            for p in self._Fi
-        )  # [B, xM, xA]
-        T = _left_mm(G0, summed, self.keep, self.n_chunks)  # [B, xA, xM]
-        sg = _pair_cmatmul(T, G1t, self.keep, self.n_chunks)  # [B, xA, xA]
+        if self.kernel == "pallas":
+            G0pc = gather_prechunked_rows(self._Fi_pc, g0_rows)
+            T = dfc_matmul(summed, G0pc, "left")  # [B, xA, xM]
+            G1tpc = gather_prechunked_rows(
+                self._Fi_pc, g1_rows, transpose=True
+            )  # [B, m, xM, xA]
+            sg = dfc_matmul(T, G1tpc, "right")  # [B, xA, xA]
+        else:
+            G0 = tuple(jnp.take(p, g0_rows, axis=0) for p in self._Fi)
+            G1t = tuple(
+                jnp.take(p, g1_rows, axis=0).transpose(0, 2, 1)
+                for p in self._Fi
+            )  # [B, xM, xA]
+            T = _left_mm(G0, summed, self.keep, self.n_chunks)
+            sg = _pair_cmatmul(T, G1t, self.keep, self.n_chunks)
         m = (mask0[None, :, None] * mask1[:, None, :]
              * valid[:, None, None])
         sg = tuple(p * m for p in sg)
 
         # --- backward: prepare sandwich --------------------------------
-        P0 = tuple(jnp.take(p, g0_rows, axis=1) for p in self._Fm)
-        # P1^T[b] = F_xM[:, rows_b]^T  -> [B, xA, xM]
-        P1t = tuple(
-            jnp.take(p, g1_rows, axis=1).transpose(1, 2, 0)
-            for p in self._Fm
-        )
-        T = _left_mm(P0, sg, self.keep, self.n_chunks)  # [B, xM, xA]
-        FS = _pair_cmatmul(T, P1t, self.keep, self.n_chunks)  # [B, xM, xM]
+        if self.kernel == "pallas":
+            # P0 = Fm[:, g0_rows] == (FmT[g0_rows, :])^T
+            P0pc = gather_prechunked_rows(
+                self._FmT_pc, g0_rows, transpose=True
+            )  # [1, m, xM, xA] — left, contraction over xA
+            T = dfc_matmul(sg, P0pc, "left")  # [B, xM, xA]
+            P1tpc = gather_prechunked_rows(
+                self._FmT_pc, g1_rows
+            )  # [B, m, xA, xM] — right
+            FS = dfc_matmul(T, P1tpc, "right")  # [B, xM, xM]
+        else:
+            P0 = tuple(jnp.take(p, g0_rows, axis=1) for p in self._Fm)
+            # P1^T[b] = F_xM[:, rows_b]^T  -> [B, xA, xM]
+            P1t = tuple(
+                jnp.take(p, g1_rows, axis=1).transpose(1, 2, 0)
+                for p in self._Fm
+            )
+            T = _left_mm(P0, sg, self.keep, self.n_chunks)  # [B, xM, xA]
+            FS = _pair_cmatmul(T, P1t, self.keep, self.n_chunks)
 
         # --- extraction sandwich, batched over facets ------------------
         # stage 1 is a single 2-D matmul: stack E0 rows over facets
-        E0all = tuple(p.reshape(F * c, xM) for p in self._E0)
         FSm = tuple(
             jnp.moveaxis(p, 1, 0).reshape(xM, B * xM) for p in FS
         )
-        T = _pair_cmatmul(E0all, FSm, self.keep,
-                          self.n_chunks)  # [F*c, B*xM]
+        if self.kernel == "pallas":
+            T = dfc_matmul(FSm, self._E0all_pc, "left")  # [F*c, B*xM]
+        else:
+            E0all = tuple(p.reshape(F * c, xM) for p in self._E0)
+            T = _pair_cmatmul(E0all, FSm, self.keep, self.n_chunks)
         Tv = tuple(
             p.reshape(F, c, B, xM).transpose(0, 2, 1, 3)
             .reshape(F, B * c, xM)
             for p in T
         )
-        NAFf = _pair_cmatmul(Tv, self._E1t, self.keep,
-                             self.n_chunks)  # [F, B*c, c]
+        if self.kernel == "pallas":
+            NAFf = dfc_matmul(Tv, self._E1t_pc, "right")  # [F, B*c, c]
+        else:
+            NAFf = _pair_cmatmul(Tv, self._E1t, self.keep,
+                                 self.n_chunks)
         NAFv = tuple(p.reshape(F, B, c, c) for p in NAFf)
 
         # --- column fold: scatter into [F, c, yN] ----------------------
@@ -430,8 +512,7 @@ class SplitSwiftly:
         )
 
         # --- finish axis 1 (yN fft + static wrap gather + Fb window) ---
-        g = df_fft_mxu(NAF_MNAF, inverse=False, keep=self.keep,
-                       n_chunks=self.n_chunks)  # [F, c, yN]
+        g = self._fft(NAF_MNAF, False)  # [F, c, yN]
         # per-facet static wrap windows: one vmapped gather
         w = tuple(
             jax.vmap(lambda pf, ix: jnp.take(pf, ix, axis=1))(
@@ -478,8 +559,7 @@ class SplitSwiftly:
             for k in range(4)
         )
         moved = tuple(jnp.moveaxis(p, 1, -1) for p in folded)  # [F,yB,yN]
-        g = df_fft_mxu(moved, inverse=False, keep=self.keep,
-                       n_chunks=self.n_chunks)
+        g = self._fft(moved, False)
 
         from ..ops.split_precision import df_mul
 
