@@ -353,6 +353,49 @@ def cpu_baseline(params, sources, n_sample=3):
         return 1.0 / per_sg
 
 
+def _require_tunnel_alive(wait_s=600):
+    """Fail fast (with a clear message) when the axon TPU tunnel relay
+    is down, instead of blocking forever in backend init.
+
+    The tunnelled TPU plugin (JAX_PLATFORMS=axon) retries refused
+    connects to the local relay ports indefinitely at ~0% CPU, so a
+    dead relay turns any bench invocation into a silent infinite hang.
+    Probe the first relay port directly: connection-refused means the
+    relay process is gone (a condition only the outer harness can
+    repair). Waits up to ``wait_s`` for it to come back before giving
+    up. Set SWIFTLY_BENCH_NO_PROBE=1 to skip (e.g. non-axon setups).
+    """
+    import socket
+    import time as _time
+
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return
+    if os.environ.get("SWIFTLY_BENCH_NO_PROBE") == "1":
+        return
+    deadline = _time.time() + wait_s
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                return
+        except OSError as e:
+            if _time.time() > deadline:
+                print(
+                    json.dumps({
+                        "metric": "bench_error",
+                        "value": 0,
+                        "unit": "none",
+                        "vs_baseline": None,
+                        "extra": {
+                            "error": "axon TPU tunnel relay down "
+                            f"(port 8082: {e}); cannot reach the chip",
+                        },
+                    })
+                )
+                sys.exit(2)
+            log(f"TPU tunnel relay not reachable ({e}); waiting...")
+            _time.sleep(15)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--swift_config", default="16k[1]-n8k-512")
@@ -382,6 +425,8 @@ def main():
                     "(default: pallas on TPU, xla elsewhere)")
     ap.add_argument("--skip_baseline", action="store_true")
     args = ap.parse_args()
+
+    _require_tunnel_alive()
 
     from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
         SWIFT_CONFIGS,
