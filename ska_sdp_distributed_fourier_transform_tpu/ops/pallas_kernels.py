@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "cmatmul",
     "fused_sandwich",
+    "fused_gather_sandwich",
     "fused_double_sandwich",
     "fused_lr_sandwich",
 ]
@@ -271,6 +272,179 @@ def fused_sandwich(A0, X, A1, interpret=None):
         return out.astype(jnp.complex64)
 
     outr, outi = _fused_sandwich(a0r, a0i, xr, xi, a1r, a1i, interpret)
+    return jax.lax.complex(outr, outi)
+
+
+# ---------------------------------------------------------------------------
+# Gather-fused sandwich: out[b] = sum_f A0[f] @ W(N[f], s_b) @ A1[f]^T
+# ---------------------------------------------------------------------------
+
+
+def _gather_sandwich_kernel(c, qb_ref, rb_ref, tb_ref,
+                            a0r_ref, a0i_ref, n0r_ref, n0i_ref,
+                            n1r_ref, n1i_ref, a1r_ref, a1i_ref,
+                            or_ref, oi_ref, acc_r, acc_i):
+    b = pl.program_id(0)
+    f = pl.program_id(2)
+    n_f = pl.num_programs(2)
+    del qb_ref  # consumed by the index maps only
+
+    @pl.when(f == 0)
+    def _():
+        acc_r[:] = jnp.zeros_like(acc_r)
+        acc_i[:] = jnp.zeros_like(acc_i)
+
+    # The two c-wide lane blocks covering the window; rotate the pair
+    # left by the in-block remainder so the window starts at lane 0,
+    # then apply the engine's in-window roll by the scaled offset
+    # (extract_from_facet's trailing ``roll(+s)``).
+    rb = rb_ref[b]
+    tb = tb_ref[b]
+
+    def win(p0, p1):
+        w = jnp.roll(
+            jnp.concatenate([p0, p1], axis=1), -rb, axis=1
+        )[:, :c]
+        return jnp.roll(w, tb, axis=1)
+
+    xr = win(n0r_ref[0], n1r_ref[0])
+    xi = win(n0i_ref[0], n1i_ref[0])
+
+    tr, ti = _karatsuba(a0r_ref[0], a0i_ref[0], xr, xi)
+    sr, si = _karatsuba(tr, ti, a1r_ref[0], a1i_ref[0])
+    acc_r[:] += sr
+    acc_i[:] += si
+
+    @pl.when(f == n_f - 1)
+    def _():
+        or_ref[0] = acc_r[:]
+        oi_ref[0] = acc_i[:]
+
+
+def _gather_tile_m(xM, c):
+    """VMEM model for the gather-fused kernel (same calibrated budget as
+    :func:`_sandwich_tile_m`): the four double-buffered window blocks
+    plus the concat/roll temporaries replace the X pair."""
+    budget = 15_500_000 // 4
+    fixed = 16 * c * c + 11 * xM * c // 2
+    tm = (budget - fixed) // max(9 * c + 6 * xM, 1)
+    tm = max(min(tm, xM), 8)
+    for cand in (xM, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= tm and xM % cand == 0:
+            return cand
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_gather_sandwich(qb, rb, tb, a0r, a0i, nr, ni, a1r, a1i,
+                           interpret):
+    # nr/ni: [F, c, yN + 2c] (cyclic lane extension); a1r/a1i arrive
+    # pre-transposed [F, c, xM]
+    F, xM, c = a0r.shape
+    B = qb.shape[0]
+    TM = xM if interpret else _gather_tile_m(xM, c)
+    grid = (B, xM // TM, F)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    a0_spec = pl.BlockSpec(
+        (1, TM, c), lambda b, m, f, q, r, t: (f, m, 0),
+        memory_space=ms)
+    a1_spec = pl.BlockSpec(
+        (1, c, xM), lambda b, m, f, q, r, t: (f, 0, 0),
+        memory_space=ms)
+    n0_spec = pl.BlockSpec(
+        (1, c, c), lambda b, m, f, q, r, t: (f, 0, q[b]),
+        memory_space=ms)
+    n1_spec = pl.BlockSpec(
+        (1, c, c), lambda b, m, f, q, r, t: (f, 0, q[b] + 1),
+        memory_space=ms)
+    o_spec = pl.BlockSpec(
+        (1, TM, xM), lambda b, m, f, q, r, t: (b, m, 0),
+        memory_space=ms)
+    out_shape = [_sds((B, xM, xM), nr), _sds((B, xM, xM), nr)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[a0_spec, a0_spec, n0_spec, n0_spec, n1_spec, n1_spec,
+                  a1_spec, a1_spec],
+        out_specs=[o_spec, o_spec],
+        scratch_shapes=[
+            pltpu.VMEM((TM, xM), jnp.float32),
+            pltpu.VMEM((TM, xM), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_sandwich_kernel, c),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qb, rb, tb, a0r, a0i, nr, ni, nr, ni, a1r, a1i)
+
+
+def fused_gather_sandwich(A0, NMBF_BF, scaled_off, A1, interpret=None):
+    """``out[b] = sum_f A0[f] @ X_b[f] @ A1[f]^T`` with the per-subgrid
+    wrap-window extraction fused into the kernel.
+
+    ``X_b[f] = extract_from_facet(NMBF_BF[f], off1_b, axis=1)`` — the
+    column engine's per-subgrid extraction (a cyclic window gather at
+    the scaled subgrid offset followed by an in-window ``roll(+s)``,
+    ops/core.py ``_roll_extract_roll``), which the unfused path
+    materialises as a [B, F, c, c] array in HBM before the contraction.
+    Here the window blocks are streamed straight from the column
+    contribution array via scalar-prefetched block indices and aligned
+    in-register with dynamic lane rotates; the gather never touches
+    HBM as a separate pass.
+
+    :param A0: complex [F, xM, c] or (real, imag) float tuple
+    :param NMBF_BF: complex [F, c, yN] or (real, imag) float tuple —
+        the per-column prepared facet contributions
+    :param scaled_off: int32 [B] — per-subgrid offsets already scaled
+        into the yN grid (``_scale_off(sg_off1, N // yN)``)
+    :param A1: complex [F, xM, c] or (real, imag) float tuple
+    :return: complex64 [B, xM, xM]
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    def split(z):
+        if isinstance(z, tuple):
+            return z
+        return (jnp.real(z).astype(jnp.float32),
+                jnp.imag(z).astype(jnp.float32))
+
+    a0r, a0i = split(A0)
+    nr, ni = split(NMBF_BF)
+    a1r, a1i = split(A1)
+    a1r = jnp.swapaxes(a1r, -1, -2)  # [F, c, xM] — kernel wants A1^T
+    a1i = jnp.swapaxes(a1i, -1, -2)
+
+    F, xM, c = a0r.shape
+    yN = nr.shape[-1]
+    scaled_off = scaled_off.astype(jnp.int32)
+    starts = jnp.mod(yN // 2 - c // 2 + scaled_off, yN)
+    qb = starts // c
+    rb = starts % c
+    tb = jnp.mod(scaled_off, c)
+
+    if not interpret and _gather_tile_m(xM, c) < 32:
+        # Working set too large — fall back to the unfused formulation.
+        from .core import _roll_extract_roll
+
+        X = jax.vmap(
+            lambda s: (_roll_extract_roll(nr, s, c, 2),
+                       _roll_extract_roll(ni, s, c, 2))
+        )(scaled_off)  # pair of [B, F, c, c]
+        return fused_sandwich(A0, X, A1, interpret=interpret)
+
+    # Cyclic lane extension: blocks q and q+1 are always in range.
+    nr = jnp.concatenate([nr, nr[:, :, : 2 * c]], axis=-1)
+    ni = jnp.concatenate([ni, ni[:, :, : 2 * c]], axis=-1)
+
+    outr, outi = _fused_gather_sandwich(
+        qb, rb, tb, a0r, a0i, nr, ni, a1r, a1i, interpret
+    )
     return jax.lax.complex(outr, outi)
 
 

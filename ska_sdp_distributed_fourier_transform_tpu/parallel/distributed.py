@@ -41,6 +41,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops import operators as linop
 from ..ops.core import (
     SwiftlyCore,
+    _scale_off,
     add_to_facet_fn,
     add_to_subgrid_fn,
     extract_from_facet_fn,
@@ -197,7 +198,8 @@ class ShardedSwiftly:
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high",
                  process_subgrid=None, columns_per_step=1,
-                 fft_impl="mxu", fused_fft=None, scan_unroll=None):
+                 fft_impl="mxu", fused_fft=None, scan_unroll=None,
+                 gather_fused=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -238,6 +240,16 @@ class ShardedSwiftly:
         if scan_unroll is None:
             scan_unroll = int(os.environ.get("SWIFTLY_SCAN_UNROLL", "1"))
         self.scan_unroll = int(scan_unroll)
+        # Stream the per-subgrid window extraction through the fused
+        # contribution kernel (ops/pallas_kernels.fused_gather_sandwich)
+        # instead of materialising the [B, F, c, c] window array in HBM
+        # (pallas engine mode only). None defers to the
+        # SWIFTLY_GATHER_FUSED env knob; default off until measured
+        # on hardware.
+        if gather_fused is None:
+            gather_fused = os.environ.get(
+                "SWIFTLY_GATHER_FUSED", "0") == "1"
+        self.gather_fused = bool(gather_fused)
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -446,24 +458,32 @@ class ShardedSwiftly:
 
                 NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 
-            def per_sg(o1b):
-                return jax.vmap(
-                    lambda nb: extract_from_facet_fn(nb, o1b, 1, N, yN, c)
-                )(NMBF_BF)
+            if use_pallas_fwd and self.gather_fused:
+                from ..ops.pallas_kernels import fused_gather_sandwich
 
-            NMBF_NMBF = jax.vmap(per_sg)(sg_off1)  # [B, Floc, c, c]
-
-            if use_pallas_fwd:
-                from ..ops.pallas_kernels import fused_sandwich
-
-                partial = fused_sandwich(A0, NMBF_NMBF, A1).astype(
-                    cdtype
-                )  # [B, xM, xM]
+                partial = fused_gather_sandwich(
+                    A0, NMBF_BF, _scale_off(sg_off1, N // yN), A1
+                ).astype(cdtype)  # [B, xM, xM]
             else:
-                partial = jnp.einsum(
-                    "fqk,bfkl,frl->bqr", A0, NMBF_NMBF, A1,
-                    precision=prec,
-                )  # [B, xM, xM]
+                def per_sg(o1b):
+                    return jax.vmap(
+                        lambda nb: extract_from_facet_fn(
+                            nb, o1b, 1, N, yN, c)
+                    )(NMBF_BF)
+
+                NMBF_NMBF = jax.vmap(per_sg)(sg_off1)  # [B, Floc, c, c]
+
+                if use_pallas_fwd:
+                    from ..ops.pallas_kernels import fused_sandwich
+
+                    partial = fused_sandwich(A0, NMBF_NMBF, A1).astype(
+                        cdtype
+                    )  # [B, xM, xM]
+                else:
+                    partial = jnp.einsum(
+                        "fqk,bfkl,frl->bqr", A0, NMBF_NMBF, A1,
+                        precision=prec,
+                    )  # [B, xM, xM]
 
             summed = _psum_scatter_c(
                 partial, TILE_AXIS, scatter_dimension=0
