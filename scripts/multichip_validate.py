@@ -47,6 +47,12 @@ def main():
                     help="run the single-dispatch fused stream instead of "
                     "per-column driving (more RAM on a virtual mesh)")
     ap.add_argument("--rmse_bound", type=float, default=1e-5)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for the per-column loop; an "
+                    "existing matching checkpoint resumes mid-stream "
+                    "(the 32k validation takes tens of hours on a "
+                    "1-core host — this lets it span sessions)")
+    ap.add_argument("--checkpoint_every", type=int, default=2)
     ap.add_argument("--source_number", type=int, default=3)
     ap.add_argument("--dtype", default="complex64",
                     choices=["complex64", "complex128"])
@@ -149,16 +155,33 @@ def main():
         # single-core virtual mesh — the log is the progress record)
         BF_F = engine.prepare_facets(packed)
         log(f"prepared in {time.perf_counter() - t0:.0f}s")
-        accum = engine.zero_accumulator()
-        n_sg = 0
-        for ci in range(engine.plan.n_columns):
+        if args.checkpoint:
+            from ska_sdp_distributed_fourier_transform_tpu.utils import (
+                StreamCheckpointer,
+            )
+
+            ckpt = StreamCheckpointer(
+                engine, args.checkpoint, every=args.checkpoint_every
+            )
+            accum, start = ckpt.resume()
+            if start:
+                log(f"resumed from checkpoint at column {start}")
+        else:
+            ckpt, start = None, 0
+            accum = engine.zero_accumulator()
+        n_sg = sum(
+            len(engine.plan.configs[ci]) for ci in range(start)
+        )
+        for ci in range(start, engine.plan.n_columns):
             sg = engine.forward_column(BF_F, ci)
             accum = engine.backward_column(sg, ci, accum)
             accum.block_until_ready()
+            if ckpt is not None:
+                accum = ckpt.step(accum, ci)
             n_sg += len(engine.plan.configs[ci])
             log(f"column {ci + 1}/{engine.plan.n_columns} done "
                 f"({time.perf_counter() - t0:.0f}s)")
-        del BF_F, sg
+        del BF_F
         out = engine.finish_facets(accum)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
