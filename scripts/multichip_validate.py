@@ -53,6 +53,10 @@ def main():
                     "(the 32k validation takes tens of hours on a "
                     "1-core host — this lets it span sessions)")
     ap.add_argument("--checkpoint_every", type=int, default=2)
+    ap.add_argument("--stop_after_columns", type=int, default=None,
+                    help="checkpoint and exit (code 3) after this many "
+                    "columns this invocation — bounds one session's "
+                    "work on a multi-session validation run")
     ap.add_argument("--source_number", type=int, default=3)
     ap.add_argument("--dtype", default="complex64",
                     choices=["complex64", "complex128"])
@@ -181,6 +185,16 @@ def main():
             n_sg += len(engine.plan.configs[ci])
             log(f"column {ci + 1}/{engine.plan.n_columns} done "
                 f"({time.perf_counter() - t0:.0f}s)")
+            if (args.stop_after_columns is not None
+                    and ci + 1 - start >= args.stop_after_columns
+                    and ci + 1 < engine.plan.n_columns):
+                if ckpt is not None and (ci + 1) % ckpt.every:
+                    ckpt.every = 1  # force the due-check
+                    accum = ckpt.step(accum, ci)
+                log(f"stopping after {ci + 1 - start} columns "
+                    "(--stop_after_columns); resume with the same "
+                    "--checkpoint")
+                sys.exit(3)
         del BF_F
         out = engine.finish_facets(accum)
     out.block_until_ready()

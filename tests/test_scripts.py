@@ -59,6 +59,39 @@ def test_flag_file_support(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
 
 
+def test_multichip_validate_checkpoint_resume(tmp_path):
+    """The checkpointed per-column validation loop resumes mid-stream
+    and reproduces the uninterrupted RMSE (the cross-session mechanism
+    the 32k validation relies on)."""
+    import json as _json
+
+    ckpt = str(tmp_path / "mcv.npz")
+    args = (
+        "multichip_validate.py", "--swift_config", "1k[1]-n512-256",
+        "--devices", "4", "--source_number", "2",
+        "--checkpoint", ckpt, "--checkpoint_every", "1",
+    )
+    # session 1: process 3 of the 7 columns, checkpoint, exit(3)
+    res = run_script(*args, "--stop_after_columns", "3", timeout=900)
+    assert res.returncode == 3, res.stderr[-2000:]
+    assert "stopping after 3 columns" in res.stderr
+    assert os.path.exists(ckpt)
+    # session 2: resume mid-stream and finish
+    res2 = run_script(*args, timeout=900)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "resumed from checkpoint at column 3" in res2.stderr
+    out = _json.loads(res2.stdout.splitlines()[-1])
+    assert out["ok"], out
+    # the resumed result matches an uninterrupted single-session run
+    res3 = run_script(
+        "multichip_validate.py", "--swift_config", "1k[1]-n512-256",
+        "--devices", "4", "--source_number", "2", timeout=900,
+    )
+    assert res3.returncode == 0, res3.stderr[-2000:]
+    rmse_solid = _json.loads(res3.stdout.splitlines()[-1])["rmse"]
+    assert out["rmse"] == rmse_solid
+
+
 def test_error_map_script(tmp_path):
     res = run_script(
         "error_map.py", "--swift_config", "1k[1]-n512-256",
