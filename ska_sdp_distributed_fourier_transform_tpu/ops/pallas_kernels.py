@@ -302,10 +302,12 @@ def _gather_sandwich_kernel(c, qb_ref, rb_ref, tb_ref,
     tb = tb_ref[b]
 
     def win(p0, p1):
-        w = jnp.roll(
-            jnp.concatenate([p0, p1], axis=1), -rb, axis=1
+        # pltpu.roll lowers to the hardware dynamic lane rotate (a
+        # traced-shift jnp.roll would become unaligned dynamic slices)
+        w = pltpu.roll(
+            jnp.concatenate([p0, p1], axis=1), -rb, 1
         )[:, :c]
-        return jnp.roll(w, tb, axis=1)
+        return pltpu.roll(w, tb, 1)
 
     xr = win(n0r_ref[0], n1r_ref[0])
     xi = win(n0i_ref[0], n1i_ref[0])
