@@ -21,8 +21,15 @@ entries whose facet arrays exceed the mesh's aggregate HBM
   device in yB-column chunks, so their footprint is also bounded.
 
 The column pipeline itself is the operator (MXU) formulation of the
-sharded engine (:mod:`.distributed`), minus the collectives — the host
-tier targets a single chip; sharded meshes use :class:`ShardedSwiftly`.
+sharded engine (:mod:`.distributed`), minus the collectives — on a
+single chip. With ``mesh=`` the per-column device working set is
+instead sharded over the mesh with the same collective pattern as
+:class:`ShardedSwiftly` (facet-sharded contributions ``psum_scatter``
+to subgrid shards forward, ``all_to_all`` back to facet shards
+backward), so a pod divides both the column compute and the per-device
+footprint while the facet-scale state stays in host RAM — the regime
+the reference runs on its 512 GiB CSD3 nodes
+(reference slurm_scripts/run_distr_single_csd3.slurm).
 
 Reference parity: this makes the 64k/128k half of ``SWIFT_CONFIGS``
 (reference swift_configs.py:30-40) *runnable* on TPU hardware, which the
@@ -47,7 +54,13 @@ from ..ops.core import (
     prepare_facet_op,
 )
 from ..utils.transfer import get_complex, put_complex
-from .distributed import ColumnPlan
+from .distributed import (
+    ColumnPlan,
+    _all_to_all_c,
+    _ceil_to,
+    _psum_scatter_c,
+)
+from .mesh import TILE_AXIS, replicated_sharding, tile_sharding
 
 __all__ = ["StreamedSwiftly"]
 
@@ -68,7 +81,7 @@ class StreamedSwiftly:
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  batch_chunk=None, prepare_chunk=2048, precision="high",
-                 fft_impl="xla"):
+                 fft_impl="xla", mesh=None):
         self.core = core
         self.precision = jax.lax.Precision(precision)
         if fft_impl not in ("xla", "mxu"):
@@ -78,6 +91,12 @@ class StreamedSwiftly:
         if fft_impl == "mxu" and core.yN_size == 2048:
             fft_impl = "xla"
         self.fft_impl = fft_impl
+        #: Optional device mesh: shard the per-column device working set
+        #: (facet-sharded contributions, psum_scatter/all_to_all
+        #: redistribution — the ShardedSwiftly pattern) while facet
+        #: state stays host-resident. ``None`` = single device.
+        self.mesh = mesh
+        self.n_devices = 1 if mesh is None else mesh.devices.size
 
         sizes = {cfg.size for cfg in facet_configs}
         if len(sizes) != 1:
@@ -90,18 +109,22 @@ class StreamedSwiftly:
 
         self.facet_configs = list(facet_configs)
         self.plan = ColumnPlan.from_configs(
-            subgrid_configs, self.xA_size, n_devices=1
+            subgrid_configs, self.xA_size, n_devices=self.n_devices
         )
         B = self.plan.batch
         self.batch_chunk = min(batch_chunk or B, B)
 
         F = len(self.facet_configs)
         self.F = F
+        # facet metadata padded to a mesh multiple (F_pad == F on a
+        # single device); padded facets have zero masks and zero rows,
+        # so they contribute nothing
+        self.F_pad = _ceil_to(F, self.n_devices)
         rd = core.real_dtype
-        self._foff0 = np.zeros(F, dtype=np.int32)
-        self._foff1 = np.zeros(F, dtype=np.int32)
-        self._fmask0 = np.zeros((F, self.yB_size), dtype=rd)
-        self._fmask1 = np.zeros((F, self.yB_size), dtype=rd)
+        self._foff0 = np.zeros(self.F_pad, dtype=np.int32)
+        self._foff1 = np.zeros(self.F_pad, dtype=np.int32)
+        self._fmask0 = np.zeros((self.F_pad, self.yB_size), dtype=rd)
+        self._fmask1 = np.zeros((self.F_pad, self.yB_size), dtype=rd)
         for i, cfg in enumerate(self.facet_configs):
             self._foff0[i] = cfg.off0
             self._foff1[i] = cfg.off1
@@ -144,10 +167,10 @@ class StreamedSwiftly:
         self._F_xM = linop.shifted_dft_matrix(xM)
         self._dev_cache = {}
 
-    def _dev_c(self, key, arr):
+    def _dev_c(self, key, arr, sharding=None):
         if key not in self._dev_cache:
             self._dev_cache[key] = put_complex(
-                arr, dtype=self.core.dtype
+                arr, sharding, dtype=self.core.dtype
             )
         return self._dev_cache[key]
 
@@ -264,6 +287,100 @@ class StreamedSwiftly:
         self._A0d, self._A1d, self._E0d, self._E1d = A0, A1, E0, E1
         self._Fid, self._Fmd = Fi, Fm
 
+        if self.mesh is None:
+            return
+
+        # ----- mesh-sharded column pipeline (ShardedSwiftly pattern):
+        # rows facet-sharded in, one psum_scatter forward, one
+        # all_to_all backward, finished rows facet-sharded out. The
+        # whole column runs as a single compiled dispatch per column.
+        mesh = self.mesh
+        from jax.sharding import PartitionSpec as P
+
+        def column_local(rows, A0l, A1l, E0f, E1f, Fi_xM, F_xM, foff1l,
+                         fmask1l, off0, sg_off1, valid, mask0, mask1):
+            # rows [Floc, c, yB] — this shard's facets' window rows
+            NMBF_BF = jax.vmap(
+                lambda r, o1: prep_facet(r, o1, 1, Fb, yN)
+            )(rows, foff1l)  # [Floc, c, yN]
+
+            def per_sg(o1b):
+                return jax.vmap(
+                    lambda nb: extract_from_facet_fn(nb, o1b, 1, N, yN, c)
+                )(NMBF_BF)
+
+            X = jax.vmap(per_sg)(sg_off1)  # [B_pad, Floc, c, c]
+            partial = jnp.einsum(
+                "fqk,bfkl,frl->bqr", A0l, X, A1l, precision=prec
+            )  # [B_pad, xM, xM]
+            summed = _psum_scatter_c(
+                partial, TILE_AXIS, scatter_dimension=0
+            )  # [Bloc, xM, xM]
+
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = summed.shape[0]
+            my_off1 = jax.lax.dynamic_slice_in_dim(
+                sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(valid, d * Bloc, Bloc)
+            my_mask1 = jax.lax.dynamic_slice_in_dim(mask1, d * Bloc, Bloc)
+
+            base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
+            G0 = jnp.take(Fi_xM, (base + off0) % xM, axis=0)
+            G1 = jax.vmap(
+                lambda o1b: jnp.take(Fi_xM, (base + o1b) % xM, axis=0)
+            )(my_off1)
+            sg = jnp.einsum(
+                "qk,bkl,brl->bqr", G0, summed, G1, precision=prec
+            )
+            sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
+            sg = sg * my_mask1[:, jnp.newaxis, :]
+            sg = sg * my_valid[:, jnp.newaxis, jnp.newaxis].astype(cdtype)
+
+            # ---- backward
+            P0 = jnp.take(F_xM, (base + off0) % xM, axis=1)
+            P1 = jax.vmap(
+                lambda o1b: jnp.take(F_xM, (base + o1b) % xM, axis=1)
+            )(my_off1)
+            FS = jnp.einsum(
+                "iq,bqr,bjr->bij", P0, sg, P1, precision=prec
+            )  # [Bloc, xM, xM]
+            NAF_NAF = jnp.einsum(
+                "fki,bij,flj->bfkl", E0f, FS, E1f, precision=prec
+            )  # [Bloc, F_pad, c, c]
+            x = _all_to_all_c(
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
+            )  # [B_pad, Floc, c, c]
+
+            s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
+            k = jnp.arange(c, dtype=jnp.int32)
+            idx = (
+                yN // 2 - c // 2
+                + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                + s[:, jnp.newaxis]
+            ) % yN  # [B_pad, c]
+            Bp = x.shape[0]
+            xr = x.transpose(1, 2, 0, 3).reshape(-1, c, Bp * c)
+            NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
+            NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+
+            rows_out = jax.vmap(
+                lambda a, o1: fin_facet(a, o1, yB, 1, Fb)
+            )(NAF_MNAF, foff1l)
+            rows_out = rows_out * fmask1l[:, jnp.newaxis, :]
+            return sg, rows_out
+
+        fsh = P(TILE_AXIS)
+        rep = P()
+        self._column_mesh = jax.jit(jax.shard_map(
+            column_local,
+            mesh=mesh,
+            in_specs=(fsh, fsh, fsh, rep, rep, rep, rep, fsh, fsh,
+                      rep, rep, rep, rep, rep),
+            out_specs=(fsh, fsh),
+        ))
+        self._row_shard = tile_sharding(mesh)
+        self._repl_shard = replicated_sharding(mesh)
+
     # --------------------------------------------------------- host helpers
 
     def _window_start(self, off0):
@@ -343,6 +460,9 @@ class StreamedSwiftly:
         :return: list of (SubgridConfig, host subgrid array) when
             ``collect_subgrids``, else None
         """
+        if self.mesh is not None:
+            return self._process_column_mesh(ci, collect_subgrids)
+
         core = self.core
         yN, c = core.yN_size, core.xM_yN_size
         B = self.plan.batch
@@ -373,6 +493,53 @@ class StreamedSwiftly:
             )
         rows_out = self._finish_column(NAF_MNAF, foff1, fmask1)
         self._scatter_rows(self.plan.off0[ci], get_complex(rows_out))
+        return collected
+
+    def _process_column_mesh(self, ci, collect_subgrids=False):
+        """Mesh-sharded :meth:`process_column`: the whole column —
+        axis-1 prepare, forward contraction + ``psum_scatter``, finish,
+        backward prepare + ``all_to_all`` + extraction + axis-1 finish
+        — is one compiled sharded dispatch; the host only ships the
+        ``[F, c, yB]`` window rows each way."""
+        core = self.core
+        c = core.xM_yN_size
+        rows_host = self._gather_rows(self.plan.off0[ci])
+        if self.F_pad != self.F:
+            rows_host = np.concatenate([
+                rows_host,
+                np.zeros((self.F_pad - self.F,) + rows_host.shape[1:],
+                         dtype=rows_host.dtype),
+            ])
+        rows_in = put_complex(rows_host, self._row_shard,
+                              dtype=core.dtype)
+
+        rd = core.real_dtype
+        sg, rows_out = self._column_mesh(
+            rows_in,
+            self._dev_c("A0", self._A0, self._row_shard),
+            self._dev_c("A1", self._A1, self._row_shard),
+            self._dev_c("E0", self._E0, self._repl_shard),
+            self._dev_c("E1", self._E1, self._repl_shard),
+            self._dev_c("Fi", self._Fi_xM, self._repl_shard),
+            self._dev_c("F", self._F_xM, self._repl_shard),
+            jnp.asarray(self._foff1, jnp.int32),
+            jnp.asarray(self._fmask1),
+            jnp.asarray(self.plan.off0[ci], jnp.int32),
+            jnp.asarray(self.plan.sg_off1[ci], jnp.int32),
+            jnp.asarray(self.plan.valid[ci], rd),
+            jnp.asarray(self.plan.mask0[ci], rd),
+            jnp.asarray(self.plan.mask1[ci], rd),
+        )
+        collected = None
+        if collect_subgrids:
+            cfgs = self.plan.configs[ci]
+            host_sg = get_complex(sg)
+            collected = [
+                (cfgs[bi], host_sg[bi]) for bi in range(len(cfgs))
+            ]
+        self._scatter_rows(
+            self.plan.off0[ci], get_complex(rows_out)[: self.F]
+        )
         return collected
 
     def finish_facets(self):

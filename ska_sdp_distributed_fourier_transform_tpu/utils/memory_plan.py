@@ -62,6 +62,10 @@ class MemoryPlan:
     host_bytes: int
     host_peak_device: int
     fits_host_tier: bool
+    #: host tier with the column working set sharded over the mesh
+    #: (``StreamedSwiftly(mesh=...)``): per-device peak and feasibility
+    host_mesh_peak_device: int = 0
+    fits_host_mesh: bool = False
 
     @property
     def resident_total(self):
@@ -161,6 +165,25 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
             break
     fits_host = host_peak_device <= HBM_BYTES * HBM_USABLE
 
+    # Host tier on a mesh (StreamedSwiftly(mesh=...)): the column
+    # working set is facet-sharded with the ShardedSwiftly collective
+    # pattern, so the per-device footprint divides with the mesh while
+    # facet-scale state stays in host RAM.
+    host_mesh = {
+        "rows_in/out": 2 * Floc * c * yB * d,
+        "NMBF_BF": Floc * c * yN * d,
+        "NMBF_NMBF": B * Floc * c * c * d,
+        "partial[B,xM,xM]": B * xM * xM * d,
+        "summed+FS+sg": (2 * Bloc * xM * xM + Bloc * xA * xA) * d,
+        "NAF_NAF (pre/post a2a)": 2 * B * Floc * c * c * d,
+        "NAF_MNAF": Floc * c * yN * d,
+        "operators": (2 * Floc + 2 * F_pad) * c * xM * d
+        + 2 * xM * xM * d,
+        "prepare/finish chunk": 2 * yN * 2048 * d,
+    }
+    host_mesh_peak = sum(host_mesh.values())
+    fits_host_mesh = host_mesh_peak <= HBM_BYTES * HBM_USABLE
+
     return MemoryPlan(
         name=name or f"N={N}",
         n_devices=n_devices,
@@ -175,6 +198,8 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
         host_bytes=host_bytes,
         host_peak_device=host_peak_device,
         fits_host_tier=fits_host,
+        host_mesh_peak_device=host_mesh_peak,
+        fits_host_mesh=fits_host_mesh,
     )
 
 

@@ -99,6 +99,49 @@ def test_streamed_matches_sharded_engine():
         assert _rmse(out_s[i], np.asarray(out_d[i])) < 1e-10
 
 
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_streamed_mesh_matches_single_device(n_devices):
+    """The mesh-sharded host tier (facet-sharded column compute,
+    psum_scatter/all_to_all redistribution, host facet state) computes
+    the same round trip as the single-device host tier, at the
+    reference bound. n_devices=8 does not divide F=9 — exercises facet
+    padding."""
+    config, fc, sc = _covers(CANONICAL)
+    sources = [(1, 1, 0)]
+    facets = [make_facet(config.image_size, cfg, sources) for cfg in fc]
+    eng_1 = StreamedSwiftly(config._core, fc, sc)
+    out_1, _ = eng_1.roundtrip(facets)
+    mesh = make_tile_mesh(n_devices)
+    eng_m = StreamedSwiftly(config._core, fc, sc, mesh=mesh)
+    assert eng_m.F_pad % n_devices == 0
+    out_m, n = eng_m.roundtrip(facets)
+    assert n == len(sc)
+    errs = [_rmse(out_m[i], facets[i]) for i in range(len(fc))]
+    assert max(errs) < 3e-10  # reference tests/test_api.py:125
+    for a, b in zip(out_1, out_m):
+        assert _rmse(a, b) < 1e-12
+
+
+def test_streamed_mesh_collects_subgrids():
+    """Per-subgrid collection through the mesh path matches the
+    direct-DFT oracle."""
+    from ska_sdp_distributed_fourier_transform_tpu import check_subgrid
+
+    config, fc, sc = _covers(CANONICAL)
+    facets = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+    eng = StreamedSwiftly(
+        config._core, fc, sc, mesh=make_tile_mesh(4)
+    )
+    eng.prepare_facets(facets)
+    eng.zero_accumulator()
+    got = eng.process_column(0, collect_subgrids=True)
+    assert got
+    for cfg, sg in got:
+        assert check_subgrid(
+            config.image_size, cfg, np.asarray(sg), SOURCES
+        ) < 3e-10
+
+
 def test_streamed_forward_subgrids_vs_oracle():
     config, fc, sc = _covers(CANONICAL)
     eng = StreamedSwiftly(config._core, fc, sc, batch_chunk=3)
@@ -148,6 +191,9 @@ def test_memory_plan_128k_host_tier():
     assert not plan.fits_device  # facet arrays exceed 16 GB HBM
     assert plan.fits_host_tier  # but the host-streamed tier runs it
     assert plan.host_peak_device < HBM_BYTES
+    # and the mesh host tier divides the per-column footprint ~3x
+    assert plan.fits_host_mesh
+    assert plan.host_mesh_peak_device < plan.host_peak_device / 2
 
 
 def test_memory_plan_catalogue_complete():
