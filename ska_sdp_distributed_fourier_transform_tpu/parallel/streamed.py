@@ -564,15 +564,69 @@ class StreamedSwiftly:
             out.append(facet)
         return out
 
-    def roundtrip(self, facet_arrays):
+    def _fingerprint(self):
+        core = self.core
+        return {
+            "N": core.N, "yN_size": core.yN_size,
+            "xM_size": core.xM_size, "W": core.W, "F": self.F,
+            "n_columns": self.plan.n_columns, "tier": "host",
+        }
+
+    def roundtrip(self, facet_arrays, checkpoint=None,
+                  checkpoint_every=8, stop_after_columns=None):
         """Full streaming round trip through the host tier.
 
-        :return: ``(facets_out, n_subgrids)`` — host numpy arrays
+        The host accumulator plus the next column index is the tier's
+        entire mutable state, so a ``checkpoint`` path makes the
+        (days-long at 128k) column loop resumable: an existing matching
+        checkpoint resumes mid-stream (``prepare_facets`` is re-run —
+        deterministic and minutes-scale, so ``BF_F`` is not saved);
+        ``stop_after_columns`` bounds one invocation's work and returns
+        ``(None, columns_done)`` when the stream is left unfinished.
+
+        :return: ``(facets_out, n_subgrids)`` — host numpy arrays —
+            or ``(None, columns_done)`` when stopped early
         """
+        import os as _os
+
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
         self.prepare_facets(facet_arrays)
-        self.zero_accumulator()
-        for ci in range(self.plan.n_columns):
+        start = 0
+        if checkpoint and _os.path.exists(checkpoint):
+            arrays, meta = load_checkpoint(checkpoint)
+            if meta.get("fingerprint") == self._fingerprint():
+                self._accum = np.asarray(
+                    arrays["accum"], dtype=np.complex128
+                )
+                start = int(meta["next_column"])
+        if start == 0:
+            self.zero_accumulator()
+
+        n_cols = self.plan.n_columns
+        for ci in range(start, n_cols):
             self.process_column(ci)
+            done = ci + 1
+            if checkpoint and (
+                done % checkpoint_every == 0 or done == n_cols
+            ):
+                save_checkpoint(
+                    checkpoint,
+                    {"accum": self._accum},
+                    {"next_column": done,
+                     "fingerprint": self._fingerprint()},
+                )
+            if (stop_after_columns is not None
+                    and done - start >= stop_after_columns
+                    and done < n_cols):
+                if checkpoint and done % checkpoint_every:
+                    save_checkpoint(
+                        checkpoint,
+                        {"accum": self._accum},
+                        {"next_column": done,
+                         "fingerprint": self._fingerprint()},
+                    )
+                return None, done
         self._BF_F = None  # release before finish
         n = sum(len(cfgs) for cfgs in self.plan.configs)
         return self.finish_facets(), n

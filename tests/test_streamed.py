@@ -122,6 +122,26 @@ def test_streamed_mesh_matches_single_device(n_devices):
         assert _rmse(a, b) < 1e-12
 
 
+def test_streamed_checkpoint_resume(tmp_path):
+    """An interrupted host-tier round trip resumes from its checkpoint
+    and reproduces the uninterrupted result exactly."""
+    config, fc, sc = _covers(CANONICAL)
+    facets = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+    eng = StreamedSwiftly(config._core, fc, sc)
+    out_ref, _ = eng.roundtrip(facets)
+    ckpt = str(tmp_path / "host_tier.npz")
+    eng2 = StreamedSwiftly(config._core, fc, sc)
+    out, done = eng2.roundtrip(
+        facets, checkpoint=ckpt, stop_after_columns=3
+    )
+    assert out is None and done == 3
+    eng3 = StreamedSwiftly(config._core, fc, sc)
+    out_res, n = eng3.roundtrip(facets, checkpoint=ckpt)
+    assert n == len(sc)
+    for a, b in zip(out_ref, out_res):
+        assert _rmse(a, b) == 0.0
+
+
 def test_streamed_mesh_collects_subgrids():
     """Per-subgrid collection through the mesh path matches the
     direct-DFT oracle."""
