@@ -7,7 +7,10 @@ execution paths:
   per-tile async dispatch, LRU column caches, bounded queue) — drop-in
   for the reference's loop (demo_api.py:33-100);
 * ``--sharded``: the dense multi-device engine (shard_map over the mesh,
-  column-batched collectives).
+  column-batched collectives);
+* ``--host_tier``: the host-streamed tier for beyond-HBM configs
+  (facet state in host RAM; ``--mesh_devices`` shards the per-column
+  device working set).
 
 Instrumentation mirrors the reference's (performance report, memory
 sampling, transfer accounting — demo_api.py:125-148), emitted with the
@@ -163,6 +166,53 @@ def demo_sharded(fundamental_params, sources, engine_mode, transfer_info,
     return n_subgrids, [rmse]
 
 
+def demo_host_tier(fundamental_params, sources, mesh_devices=None,
+                   checkpoint=None, checkpoint_every=8):
+    """Same round trip on the host-streamed tier (StreamedSwiftly):
+    facet state in host RAM, one column's working set on device —
+    optionally sharded over a mesh (--mesh_devices)."""
+    import jax
+
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        StreamedSwiftly,
+        make_tile_mesh,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.utils import (
+        plan_config,
+    )
+
+    swiftlyconfig = SwiftlyConfig(
+        dtype=(None if jax.devices()[0].platform == "cpu"
+               else jax.numpy.complex64),
+        **fundamental_params,
+    )
+    n_dev = mesh_devices or 1
+    plan = plan_config(fundamental_params, n_dev)
+    log.info("%s", plan.summary())
+    facet_cfgs = make_full_facet_cover(swiftlyconfig)
+    sg_cfgs = make_full_subgrid_cover(swiftlyconfig)
+    mesh = make_tile_mesh(mesh_devices) if mesh_devices else None
+    engine = StreamedSwiftly(
+        swiftlyconfig._core, facet_cfgs, sg_cfgs, mesh=mesh
+    )
+    facets = [
+        make_facet(swiftlyconfig.image_size, cfg, sources)
+        for cfg in facet_cfgs
+    ]
+    out, n_subgrids = engine.roundtrip(
+        facets, checkpoint=checkpoint, checkpoint_every=checkpoint_every
+    )
+    errors = [
+        check_facet(swiftlyconfig.image_size, cfg, numpy.asarray(f),
+                    sources)
+        for f, cfg in zip(out, facet_cfgs)
+    ]
+    for cfg, error in zip(facet_cfgs, errors):
+        log.info("error facet, off0/off1:%d/%d: %e", cfg.off0, cfg.off1,
+                 error)
+    return n_subgrids, errors
+
+
 def main(args):
     """Run the demo for each requested configuration."""
     setup_platform(args)
@@ -197,7 +247,12 @@ def main(args):
         )
         t0 = time.perf_counter()
         with profile, mem.sample(key):
-            if args.sharded:
+            if args.host_tier:
+                n_subgrids, errors = demo_host_tier(
+                    params, sources, args.mesh_devices,
+                    args.checkpoint, args.checkpoint_every,
+                )
+            elif args.sharded:
                 n_subgrids, errors = demo_sharded(
                     params, sources, args.engine_mode, args.transfer_info,
                     key, args.fft_impl, args.checkpoint,

@@ -45,10 +45,22 @@ def setup_platform(args):
 
     platform = args.platform
     if platform == "auto":
-        platform = "tpu" if getattr(args, "sharded", False) else "cpu"
+        accel = getattr(args, "sharded", False) or getattr(
+            args, "host_tier", False)
+        platform = "tpu" if accel else "cpu"
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+        n_mesh = getattr(args, "mesh_devices", None)
+        if n_mesh and n_mesh > 1:
+            import os
+
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + f" --xla_force_host_platform_device_count={n_mesh}"
+                ).strip()
     return platform
 
 
@@ -106,6 +118,20 @@ def cli_parser():
         action="store_true",
         help="Run the dense sharded engine (shard_map over the device "
         "mesh) instead of the tile-streaming API",
+    )
+    parser.add_argument(
+        "--host_tier",
+        action="store_true",
+        help="Run the host-streamed tier (StreamedSwiftly): facet-scale "
+        "state in host RAM, only one column's working set on device — "
+        "for configs beyond aggregate HBM (64k/128k)",
+    )
+    parser.add_argument(
+        "--mesh_devices",
+        type=int,
+        default=None,
+        help="With --host_tier: shard the per-column device working set "
+        "over this many mesh devices (default: single device)",
     )
     parser.add_argument(
         "--engine_mode",

@@ -59,6 +59,18 @@ def test_flag_file_support(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
 
 
+def test_demo_host_tier_smoke():
+    res = run_script(
+        "demo_api.py", "--swift_config", "1k[1]-n512-256",
+        "--source_number", "2", "--host_tier", "--mesh_devices", "4",
+        "--platform", "cpu",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = res.stderr + res.stdout
+    assert "subgrids/s" in out
+    assert "error facet" in out
+
+
 def test_multichip_validate_checkpoint_resume(tmp_path):
     """The checkpointed per-column validation loop resumes mid-stream
     and reproduces the uninterrupted RMSE (the cross-session mechanism
