@@ -129,9 +129,11 @@ def split_roundtrip(params, sources, kernel=None):
     )
     n_subgrids = sum(len(c) for c in plan.configs)
 
+    Cf = eng._fsh()
+
     def run(seed):
         facets_cdf = build(jnp.float32(seed), fs, i0s, i1s, vals, m0, m1)
-        out = eng._stream_fn(facets_cdf, cols)
+        out = eng._stream_fn(facets_cdf, cols, Cf)
         jax.block_until_ready(out)
         return facets_cdf, out
 

@@ -49,7 +49,8 @@ from ..ops.split_precision import (
     df_from_f64,
     df_matmul,
 )
-from .distributed import ColumnPlan
+from .distributed import ColumnPlan, _varying_zeros
+from .mesh import TILE_AXIS
 
 __all__ = ["SplitSwiftly"]
 
@@ -139,7 +140,7 @@ class SplitSwiftly:
     """
 
     def __init__(self, core, facet_configs, subgrid_configs,
-                 keep=5, n_chunks=6, kernel=None):
+                 keep=5, n_chunks=6, kernel=None, mesh=None):
         #: n_chunks bounds the operand representation (7 bits/chunk,
         #: error ~2^-7*n_chunks of the matrix max); keep bounds the
         #: chunk-pair diagonals computed — dropped diagonals contribute
@@ -160,6 +161,21 @@ class SplitSwiftly:
         if kernel not in ("pallas", "xla"):
             raise ValueError(f"Unknown kernel: {kernel}")
         self.kernel = kernel
+        #: Optional device mesh: shard the stream over facets/batch
+        #: with the same collective pattern as :class:`ShardedSwiftly`,
+        #: keeping the f64-class accuracy — the cross-device facet
+        #: reduction runs as an all_gather plus an exact two-sum
+        #: ladder, and the backward redistribution is pure data
+        #: movement. The reference only reaches complex128 accuracy at
+        #: cluster scale on big-memory CPU nodes; this gives the same
+        #: at pod scale. (Fused-kernel mode is single-device for now.)
+        self.mesh = mesh
+        self.n_devices = 1 if mesh is None else mesh.devices.size
+        if mesh is not None and kernel == "pallas":
+            raise NotImplementedError(
+                "kernel='pallas' with mesh= is not supported yet; "
+                "use kernel='xla' for the sharded split tier"
+            )
         self.core = core
         sizes = {cfg.size for cfg in facet_configs}
         if len(sizes) != 1:
@@ -171,9 +187,12 @@ class SplitSwiftly:
         self.xA_size = sizes.pop()
         self.facet_configs = list(facet_configs)
         self.plan = ColumnPlan.from_configs(
-            subgrid_configs, self.xA_size, n_devices=1
+            subgrid_configs, self.xA_size, n_devices=self.n_devices
         )
         self.F = len(self.facet_configs)
+        #: facet count padded to a mesh multiple; padded facets carry
+        #: zero masks and zero input, so they contribute exact zeros
+        self.F_pad = -(-self.F // self.n_devices) * self.n_devices
         self._build_constants()
         # Warm the split-FFT constant caches OUTSIDE any trace: the
         # lru_cache'd device constants must not be born inside the scan
@@ -203,19 +222,21 @@ class SplitSwiftly:
         yB = self.yB_size
         F = self.F
 
-        foff0 = np.array([cfg.off0 for cfg in self.facet_configs])
-        foff1 = np.array([cfg.off1 for cfg in self.facet_configs])
+        F = self.F_pad  # padded facets: off 0, mask 0 -> exact zeros
+        foff0 = np.zeros(F, dtype=np.int64)
+        foff1 = np.zeros(F, dtype=np.int64)
+        for i, cfg in enumerate(self.facet_configs):
+            foff0[i] = cfg.off0
+            foff1[i] = cfg.off1
         self._foff0 = jnp.asarray(foff0, jnp.int32)
         self._foff1 = jnp.asarray(foff1, jnp.int32)
 
         # facet masks (0/1 — exact in f32)
-        m0 = np.ones((F, yB))
-        m1 = np.ones((F, yB))
+        m0 = np.zeros((F, yB))
+        m1 = np.zeros((F, yB))
         for i, cfg in enumerate(self.facet_configs):
-            if cfg.mask0 is not None:
-                m0[i] = np.asarray(cfg.mask0)
-            if cfg.mask1 is not None:
-                m1[i] = np.asarray(cfg.mask1)
+            m0[i] = 1.0 if cfg.mask0 is None else np.asarray(cfg.mask0)
+            m1[i] = 1.0 if cfg.mask1 is None else np.asarray(cfg.mask1)
         self._fmask0 = jnp.asarray(m0, jnp.float32)
         self._fmask1 = jnp.asarray(m1, jnp.float32)
 
@@ -289,6 +310,17 @@ class SplitSwiftly:
             jnp.int32,
         )  # [F, yB]
 
+    def _fsh(self):
+        """The facet-leading constants as one pytree — passed through
+        the stream program so the mesh mode can shard them (axis 0)
+        while everything else is closure-captured replicated."""
+        return {
+            "A0": self._A0, "A1t": self._A1t,
+            "ph0": self._phase0, "ph1": self._phase1,
+            "fin0": self._fin0_idx, "fin1": self._fin1_idx,
+            "m0": self._fmask0, "m1": self._fmask1,
+        }
+
     def _col_args(self, ci):
         plan = self.plan
         return (
@@ -336,7 +368,7 @@ class SplitSwiftly:
 
     # ------------------------------------------------------------ pipeline
 
-    def _prepare(self, facets_cdf):
+    def _prepare(self, facets_cdf, Cf):
         """[F, yB, yB] cdf -> BF_F [F, yN, yB] cdf (axis-0 prepare,
         batched over facets — a single transform graph)."""
         from ..ops.split_precision import df_mul
@@ -351,14 +383,21 @@ class SplitSwiftly:
         padded = tuple(pad_mid(p, yN, 1) for p in win)  # [F, yN, yB]
         moved = tuple(jnp.swapaxes(p, 1, 2) for p in padded)  # [F,yB,yN]
         tr = self._fft(moved, True)
-        ph = tuple(p[:, None, :] for p in self._phase0)  # [F, 1, yN]
+        ph = tuple(p[:, None, :] for p in Cf["ph0"])  # [F, 1, yN]
         tr = df_cmul(tr, tuple(jnp.broadcast_to(p, tr[0].shape)
                                for p in ph))
         return tuple(jnp.swapaxes(p, 1, 2) for p in tr)  # [F, yN, yB]
 
-    def _column(self, BF_F, acc, col):
+    def _column(self, BF_F, acc, col, Cf):
         """One column: forward to subgrids, backward into the padded
-        accumulator. All arrays are cdf 4-tuples of f32 planes."""
+        accumulator. All arrays are cdf 4-tuples of f32 planes.
+
+        With a mesh, facet-leading arrays (``BF_F``, ``Cf``, ``acc``)
+        are this shard's local slices; the facet sum crosses the mesh
+        as an all_gather + exact two-sum ladder and the backward
+        contributions return to their facet shards via all_to_all
+        (pure data movement).
+        """
         core = self.core
         N, yN, xM, c = core.N, core.yN_size, core.xM_size, core.xM_yN_size
         yB, xA = self.yB_size, self.xA_size
@@ -381,7 +420,7 @@ class SplitSwiftly:
         win = wre + wim
         padded = tuple(pad_mid(p, yN, 2) for p in win)  # [F, c, yN]
         NMBF_BF = self._fft(padded, True)
-        ph1 = tuple(p[:, None, :] for p in self._phase1)
+        ph1 = tuple(p[:, None, :] for p in Cf["ph1"])
         NMBF_BF = df_cmul(
             NMBF_BF,
             tuple(jnp.broadcast_to(p, NMBF_BF[0].shape) for p in ph1),
@@ -401,14 +440,14 @@ class SplitSwiftly:
         # --- contribution sandwich, summed over facets -----------------
         # batched over F (one vmapped matmul graph, not F unrolled ones)
         B = X[0].shape[0]
-        F = self.F
+        F = X[0].shape[1]  # local facets (F_pad, or Floc on a mesh)
         Xf = tuple(
             p.transpose(1, 2, 0, 3).reshape(F, c, B * c) for p in X
         )
         if self.kernel == "pallas":
             T = dfc_matmul(Xf, self._A0_pc, "left")  # [F, xM, B*c]
         else:
-            T = _pair_cmatmul(self._A0, Xf, self.keep, self.n_chunks)
+            T = _pair_cmatmul(Cf["A0"], Xf, self.keep, self.n_chunks)
         Tv = tuple(
             p.reshape(F, xM, B, c).transpose(0, 2, 1, 3)
             .reshape(F, B * xM, c)
@@ -417,14 +456,40 @@ class SplitSwiftly:
         if self.kernel == "pallas":
             S = dfc_matmul(Tv, self._A1t_pc, "right")  # [F, B*xM, xM]
         else:
-            S = _pair_cmatmul(Tv, self._A1t, self.keep, self.n_chunks)
+            S = _pair_cmatmul(Tv, Cf["A1t"], self.keep, self.n_chunks)
         Sv = tuple(p.reshape(F, B, xM, xM) for p in S)
-        summed = _cdf_sum0(Sv)  # [B, xM, xM]
+        summed = _cdf_sum0(Sv)  # [B, xM, xM] (local-facet sum)
+
+        if self.mesh is not None:
+            # exact cross-shard facet reduction: gather every shard's
+            # partial and combine with a true df32 two-sum ladder (a
+            # plain psum would round the hi planes), then keep only
+            # this shard's slice of the subgrid batch
+            parts = tuple(
+                jax.lax.all_gather(p, TILE_AXIS) for p in summed
+            )  # [n, B, xM, xM] per plane
+            total = tuple(p[0] for p in parts)
+            for i in range(1, self.n_devices):
+                total = _cdf_add(total, tuple(p[i] for p in parts))
+            d = jax.lax.axis_index(TILE_AXIS)
+            Bloc = B // self.n_devices
+            summed = tuple(
+                jax.lax.dynamic_slice_in_dim(p, d * Bloc, Bloc)
+                for p in total
+            )
+            my_off1 = jax.lax.dynamic_slice_in_dim(
+                sg_off1, d * Bloc, Bloc)
+            my_valid = jax.lax.dynamic_slice_in_dim(
+                valid, d * Bloc, Bloc)
+            my_mask1 = jax.lax.dynamic_slice_in_dim(
+                mask1, d * Bloc, Bloc)
+        else:
+            my_off1, my_valid, my_mask1 = sg_off1, valid, mask1
 
         # --- finish sandwich -> subgrids -------------------------------
         base = xM // 2 - xA // 2 + jnp.arange(xA, dtype=jnp.int32)
         g0_rows = (base + off0) % xM
-        g1_rows = (base[None, :] + sg_off1[:, None]) % xM  # [B, xA]
+        g1_rows = (base[None, :] + my_off1[:, None]) % xM  # [Bloc, xA]
         if self.kernel == "pallas":
             G0pc = gather_prechunked_rows(self._Fi_pc, g0_rows)
             T = dfc_matmul(summed, G0pc, "left")  # [B, xA, xM]
@@ -440,8 +505,8 @@ class SplitSwiftly:
             )  # [B, xM, xA]
             T = _left_mm(G0, summed, self.keep, self.n_chunks)
             sg = _pair_cmatmul(T, G1t, self.keep, self.n_chunks)
-        m = (mask0[None, :, None] * mask1[:, None, :]
-             * valid[:, None, None])
+        m = (mask0[None, :, None] * my_mask1[:, None, :]
+             * my_valid[:, None, None])
         sg = tuple(p * m for p in sg)
 
         # --- backward: prepare sandwich --------------------------------
@@ -466,18 +531,22 @@ class SplitSwiftly:
             FS = _pair_cmatmul(T, P1t, self.keep, self.n_chunks)
 
         # --- extraction sandwich, batched over facets ------------------
+        # contributions to ALL facets from this shard's subgrids (full
+        # E0/E1t — replicated), redistributed to facet shards below
+        Bl = FS[0].shape[0]
+        Ff = self._E0[0].shape[0]  # full padded facet count
         # stage 1 is a single 2-D matmul: stack E0 rows over facets
         FSm = tuple(
-            jnp.moveaxis(p, 1, 0).reshape(xM, B * xM) for p in FS
+            jnp.moveaxis(p, 1, 0).reshape(xM, Bl * xM) for p in FS
         )
         if self.kernel == "pallas":
             T = dfc_matmul(FSm, self._E0all_pc, "left")  # [F*c, B*xM]
         else:
-            E0all = tuple(p.reshape(F * c, xM) for p in self._E0)
+            E0all = tuple(p.reshape(Ff * c, xM) for p in self._E0)
             T = _pair_cmatmul(E0all, FSm, self.keep, self.n_chunks)
         Tv = tuple(
-            p.reshape(F, c, B, xM).transpose(0, 2, 1, 3)
-            .reshape(F, B * c, xM)
+            p.reshape(Ff, c, Bl, xM).transpose(0, 2, 1, 3)
+            .reshape(Ff, Bl * c, xM)
             for p in T
         )
         if self.kernel == "pallas":
@@ -485,7 +554,19 @@ class SplitSwiftly:
         else:
             NAFf = _pair_cmatmul(Tv, self._E1t, self.keep,
                                  self.n_chunks)
-        NAFv = tuple(p.reshape(F, B, c, c) for p in NAFf)
+        NAFv = tuple(p.reshape(Ff, Bl, c, c) for p in NAFf)
+
+        if self.mesh is not None:
+            # back to facet shards — pure data movement, exact
+            def a2a(p):
+                q = jnp.moveaxis(p, 0, 1)  # [Bloc, Ff, c, c]
+                q = jax.lax.all_to_all(
+                    q, TILE_AXIS, split_axis=1, concat_axis=0,
+                    tiled=True,
+                )  # [B, Floc, c, c]
+                return jnp.moveaxis(q, 0, 1)  # [Floc, B, c, c]
+
+            NAFv = tuple(a2a(p) for p in NAFv)
 
         # --- column fold: scatter into [F, c, yN] ----------------------
         # Subgrid windows overlap (multiplicity <= 2, and the last
@@ -498,11 +579,12 @@ class SplitSwiftly:
         # two slots then combine with a true df32 add.
         targets = col[5].reshape(-1)  # [B*c] into [2*(yN+1)]
         yNp = yN + 1
+        Fl = NAFv[0].shape[0]  # facets folded locally
         planes = []
         for p in NAFv:
-            xr = p.transpose(0, 2, 1, 3).reshape(F, c, -1)
+            xr = p.transpose(0, 2, 1, 3).reshape(Fl, c, -1)
             planes.append(
-                jnp.zeros((F, c, 2 * yNp), jnp.float32)
+                jnp.zeros((Fl, c, 2 * yNp), jnp.float32)
                 .at[:, :, targets]
                 .add(xr, mode="promise_in_bounds")
             )
@@ -516,14 +598,14 @@ class SplitSwiftly:
         # per-facet static wrap windows: one vmapped gather
         w = tuple(
             jax.vmap(lambda pf, ix: jnp.take(pf, ix, axis=1))(
-                p, self._fin1_idx
+                p, Cf["fin1"]
             )
             for p in g
         )  # [F, c, yB]
         fbr = (fb[0][None, None, :], fb[1][None, None, :])
         re = df_mul((w[0], w[1]), fbr)
         im = df_mul((w[2], w[3]), fbr)
-        mm = self._fmask1[:, None, :]
+        mm = Cf["m1"][:, None, :]
         rows_out = tuple(p * mm for p in re + im)  # [F, c, yB]
 
         # --- DUS fold into the padded accumulator ----------------------
@@ -532,7 +614,7 @@ class SplitSwiftly:
         zero = jnp.zeros((), jnp.int32)
         blk = tuple(
             jax.lax.dynamic_slice(
-                acc[k], (zero, start, zero), (self.F, c, yB)
+                acc[k], (zero, start, zero), (Fl, c, yB)
             )
             for k in range(4)
         )
@@ -545,7 +627,7 @@ class SplitSwiftly:
         )
         return acc, sg
 
-    def _finish(self, acc):
+    def _finish(self, acc, Cf):
         """Padded accumulator -> finished facets [F, yB, yB] cdf."""
         core = self.core
         yN, yB, c = core.yN_size, self.yB_size, core.xM_yN_size
@@ -568,7 +650,7 @@ class SplitSwiftly:
         w = tuple(
             jnp.swapaxes(
                 jax.vmap(lambda pf, ix: jnp.take(pf, ix, axis=1))(
-                    p, self._fin0_idx
+                    p, Cf["fin0"]
                 ),
                 1, 2,
             )
@@ -577,7 +659,7 @@ class SplitSwiftly:
         fbb = (fb[0][None, :, None], fb[1][None, :, None])
         re = df_mul((w[0], w[1]), fbb)
         im = df_mul((w[2], w[3]), fbb)
-        mm = self._fmask0[:, :, None]
+        mm = Cf["m0"][:, :, None]
         return tuple(p * mm for p in re + im)
 
     # -------------------------------------------------------------- driver
@@ -587,22 +669,35 @@ class SplitSwiftly:
         yN, yB, c = (self.core.yN_size, self.yB_size,
                      self.core.xM_yN_size)
 
-        @jax.jit
-        def run(facets_cdf, cols):
-            BF_F = self._prepare(facets_cdf)
+        def run(facets_cdf, cols, Cf):
+            Floc = facets_cdf[0].shape[0]
+            BF_F = self._prepare(facets_cdf, Cf)
+            zeros = (jnp.zeros if self.mesh is None
+                     else _varying_zeros)  # scan-carry vma typing
             acc0 = tuple(
-                jnp.zeros((self.F, yN + c, yB), jnp.float32)
+                zeros((Floc, yN + c, yB), jnp.float32)
                 for _ in range(4)
             )
 
             def body(acc, col):
-                acc, _ = self._column(BF_F, acc, col)
+                acc, _ = self._column(BF_F, acc, col, Cf)
                 return acc, None
 
             acc, _ = jax.lax.scan(body, acc0, cols)
-            return self._finish(acc)
+            return self._finish(acc, Cf)
 
-        return run
+        if self.mesh is None:
+            return jax.jit(run)
+
+        from jax.sharding import PartitionSpec as P
+
+        fsh = P(TILE_AXIS)
+        return jax.jit(jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(fsh, P(), fsh),  # pytree-prefix specs
+            out_specs=fsh,
+        ))
 
     def roundtrip(self, facet_arrays):
         """Full split-precision round trip.
@@ -612,6 +707,8 @@ class SplitSwiftly:
         """
         stacked = np.stack(
             [np.asarray(f, dtype=np.complex128) for f in facet_arrays]
+            + [np.zeros_like(np.asarray(facet_arrays[0]))]
+            * (self.F_pad - self.F)
         )
         facets_cdf = cdf_from_c128(stacked)
         plan = self.plan
@@ -626,7 +723,7 @@ class SplitSwiftly:
                 self._fold_targets(),
             )
         )
-        out_cdf = self._stream_fn(facets_cdf, cols)
+        out_cdf = self._stream_fn(facets_cdf, cols, self._fsh())
         out = cdf_to_c128(tuple(np.asarray(p) for p in out_cdf))
         n = sum(len(cfgs) for cfgs in plan.configs)
         return [out[i] for i in range(self.F)], n

@@ -157,6 +157,72 @@ def test_fft_pallas_matches_df_fft(rng, inverse):
     assert rel < 1e-10, rel
 
 
+def test_split_engine_mesh_matches_single_device():
+    """The mesh-sharded split tier (facet/batch sharding, exact
+    all_gather + two-sum facet reduction, all_to_all backward) stays in
+    the same f64-class accuracy band as the single-device engine —
+    including facet padding (F=9 on 4 devices -> F_pad=12)."""
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_facet,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        SplitSwiftly,
+        make_tile_mesh,
+    )
+
+    params = dict(
+        W=13.5625, fov=1.0, N=256, yB_size=96, yN_size=128,
+        xA_size=96, xM_size=128,
+    )
+    config = SwiftlyConfig(**params)
+    fc = make_full_facet_cover(config)
+    sc = make_full_subgrid_cover(config)
+    facets = [
+        make_facet(config.image_size, cfg, [(1, 1, 0)]) for cfg in fc
+    ]
+    eng = SplitSwiftly(
+        config._core, fc, sc, kernel="xla", mesh=make_tile_mesh(4)
+    )
+    assert eng.F_pad == 12
+    out, n = eng.roundtrip(facets)
+    assert n == len(sc)
+    errs = [
+        float(np.sqrt(np.mean(
+            np.abs(out[i] - np.asarray(facets[i])) ** 2
+        )))
+        for i in range(len(fc))
+    ]
+    # same truncation-floor band as the single-device engine (2.26e-9
+    # measured for both at this tiny config)
+    assert max(errs) < 5e-9, errs
+
+
+def test_split_engine_mesh_rejects_pallas_kernel():
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        SplitSwiftly,
+        make_tile_mesh,
+    )
+
+    params = dict(
+        W=13.5625, fov=1.0, N=256, yB_size=96, yN_size=128,
+        xA_size=96, xM_size=128,
+    )
+    config = SwiftlyConfig(**params)
+    fc = make_full_facet_cover(config)
+    sc = make_full_subgrid_cover(config)
+    with pytest.raises(NotImplementedError):
+        SplitSwiftly(config._core, fc, sc, kernel="pallas",
+                     mesh=make_tile_mesh(4))
+
+
 def test_split_engine_kernel_mode_matches_xla():
     """The split engine's kernel mode reaches the same accuracy class
     as the XLA formulation against the point-source oracle (the two
