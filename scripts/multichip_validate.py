@@ -165,7 +165,13 @@ def main():
             )
 
             ckpt = StreamCheckpointer(
-                engine, args.checkpoint, every=args.checkpoint_every
+                engine, args.checkpoint, every=args.checkpoint_every,
+                extra={
+                    "config": args.swift_config,
+                    "engine_mode": args.engine_mode,
+                    "dtype": args.dtype,
+                    "sources": sources,
+                },
             )
             accum, start = ckpt.resume()
             if start:

@@ -44,12 +44,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_kernels import _is_tpu
+
 __all__ = [
     "choose_chunking",
     "prechunk_const",
     "gather_prechunked_rows",
     "PrechunkedConst",
     "dfc_matmul",
+    "dfc_fits_vmem",
     "df_fft_pallas",
 ]
 
@@ -186,21 +189,17 @@ def _chunk_tile(rh, rl, m, bits, out_ref, set_idx):
         out_ref[set_idx, i] = c.astype(jnp.bfloat16)
 
 
-def _product_tile(a_ref, b_ref, set_idx, m, bits):
+def _product_tile(dot, m, bits):
     """All kept chunk-pair dots of one Karatsuba product, diagonals
     accumulated in plain f32 (exact by choose_chunking), combined with
-    one two-sum ladder. ``a_ref[set_idx, i]`` [TM, K] bf16 chunks,
-    ``b_ref[0, j]`` [K, TN]. Returns an (hi, lo) f32 pair."""
+    one two-sum ladder. ``dot(i, j)`` multiplies chunk i of one
+    operand by chunk j of the other; returns an (hi, lo) f32 pair."""
     hi = None
     lo = None
     for d in range(m):
         acc = None
         for i in range(d + 1):
-            j = d - i
-            if i >= m or j >= m:
-                continue
-            t = jnp.dot(a_ref[set_idx, i], b_ref[0, j],
-                        preferred_element_type=jnp.float32)
+            t = dot(i, d - i)
             acc = t if acc is None else acc + t
         w = jnp.float32(math.ldexp(1.0, -bits * (d + 2)))
         term = acc * w
@@ -254,31 +253,22 @@ def _make_kernel(m, bits, const_side):
             sl = se + (rl + il) * 0.5
             _chunk_tile(sh, sl, m, bits, ach, 2)
 
+        f32 = jnp.float32
         if const_side == "right":
             def prod(set_idx, c_ref):
-                return _product_tile(ach, c_ref, set_idx, m, bits)
+                return _product_tile(
+                    lambda i, j: jnp.dot(ach[set_idx, i], c_ref[0, j],
+                                         preferred_element_type=f32),
+                    m, bits,
+                )
         else:
             def prod(set_idx, c_ref):
                 # const chunks on the left: dot(c[i], a[set, j])
-                hi = None
-                lo = None
-                for d in range(m):
-                    acc = None
-                    for i in range(d + 1):
-                        j = d - i
-                        if i >= m or j >= m:
-                            continue
-                        t = jnp.dot(c_ref[0, i], ach[set_idx, j],
-                                    preferred_element_type=jnp.float32)
-                        acc = t if acc is None else acc + t
-                    w = jnp.float32(math.ldexp(1.0, -bits * (d + 2)))
-                    term = acc * w
-                    if hi is None:
-                        hi, lo = term, jnp.zeros_like(term)
-                    else:
-                        hi, e = _two_sum(hi, term)
-                        lo = lo + e
-                return hi, lo
+                return _product_tile(
+                    lambda i, j: jnp.dot(c_ref[0, i], ach[set_idx, j],
+                                         preferred_element_type=f32),
+                    m, bits,
+                )
 
         p_rr = _df_scale(prod(0, crr_ref), wrr_ref[0, 0])
         p_ii = _df_scale(prod(1, cii_ref), wii_ref[0, 0])
@@ -292,6 +282,47 @@ def _make_kernel(m, bits, const_side):
         oil[0] = im[1]
 
     return kernel
+
+
+def _vmem_bytes(TM, TN, K, m, const_side):
+    """Modeled VMEM of one grid step: chunk scratch + double-buffered
+    data/const/output blocks. The contraction depth K is untiled."""
+    if const_side == "right":
+        scratch = 3 * m * TM * K * 2
+        data = 2 * 4 * TM * K * 4
+        const = 2 * 3 * m * K * TN * 2
+    else:
+        scratch = 3 * m * K * TN * 2
+        data = 2 * 4 * K * TN * 4
+        const = 2 * 3 * m * TM * K * 2
+    return scratch + data + const + 2 * 4 * TM * TN * 4
+
+
+def _plan_tiles(M, K, N, const_side, budget=15_500_000):
+    """Pick ``(TM, TN)`` fitting the calibrated VMEM budget, shrinking
+    the streamed-block tiles before the 128-lane dimension; ``None``
+    when no tiling fits (K untiled in the chunk scratch — callers fall
+    back to the XLA formulation)."""
+    bits, m = choose_chunking(K)
+    del bits
+    if const_side == "right":
+        cands = [(256, 128), (128, 128), (64, 128), (32, 128),
+                 (16, 128), (16, 64)]
+    else:
+        cands = [(128, 256), (128, 128), (64, 128), (32, 128),
+                 (16, 128), (16, 64)]
+    for cm, cn in cands:
+        TM = _pick_tile(M, cm)
+        TN = _pick_tile(N, cn)
+        if _vmem_bytes(TM, TN, K, m, const_side) <= budget:
+            return TM, TN
+    return None
+
+
+def dfc_fits_vmem(M, K, N, const_side, budget=15_500_000):
+    """Whether any tiling of one :func:`dfc_matmul` call fits the
+    calibrated VMEM budget."""
+    return _plan_tiles(M, K, N, const_side, budget) is not None
 
 
 def _pick_tile(n, cap):
@@ -314,8 +345,13 @@ def _dfc_matmul_call(inv, wrr, wii, wss, dplanes, cchunks,
     if const_side == "right":
         G, M, K = dplanes[0].shape
         N = crr.shape[-1]
-        TM = _pick_tile(M, 256)
-        TN = _pick_tile(N, 128)
+        tiles = _plan_tiles(M, K, N, const_side)
+        if tiles is None:
+            raise ValueError(
+                f"dfc_matmul does not fit VMEM at K={K} "
+                "(use the XLA formulation)"
+            )
+        TM, TN = tiles
         grid = (G, pl.cdiv(M, TM), pl.cdiv(N, TN))  # N innermost
         d_spec = pl.BlockSpec((1, TM, K), lambda g, i, j: (g, i, 0),
                               memory_space=_ms(interpret))
@@ -331,8 +367,13 @@ def _dfc_matmul_call(inv, wrr, wii, wss, dplanes, cchunks,
     else:
         G, K, N = dplanes[0].shape
         M = crr.shape[-2]
-        TM = _pick_tile(M, 128)
-        TN = _pick_tile(N, 256)
+        tiles = _plan_tiles(M, K, N, const_side)
+        if tiles is None:
+            raise ValueError(
+                f"dfc_matmul does not fit VMEM at K={K} "
+                "(use the XLA formulation)"
+            )
+        TM, TN = tiles
         grid = (G, pl.cdiv(N, TN), pl.cdiv(M, TM))  # M innermost
         d_spec = pl.BlockSpec((1, K, TN), lambda g, j, i: (g, 0, j),
                               memory_space=_ms(interpret))
@@ -371,13 +412,6 @@ def _dfc_matmul_call(inv, wrr, wii, wss, dplanes, cchunks,
 
 def _ms(interpret):
     return pl.ANY if interpret else pltpu.VMEM
-
-
-def _is_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
 
 
 def dfc_matmul(data_cdf, const: PrechunkedConst, const_side,

@@ -55,11 +55,7 @@ from .mesh import TILE_AXIS
 __all__ = ["SplitSwiftly"]
 
 
-def _is_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from ..ops.pallas_kernels import _is_tpu
 
 
 def _cdf_map(fn, x):
@@ -156,10 +152,20 @@ class SplitSwiftly:
         #: (:mod:`..ops.pallas_split`) — same accuracy class, a
         #: fraction of the runtime of the XLA formulation ("xla").
         #: ``None`` auto-selects pallas on TPU.
+        explicit_kernel = kernel is not None
         if kernel is None:
-            kernel = "pallas" if _is_tpu() else "xla"
+            # auto: the fused kernel wherever it applies — single
+            # device, default truncation knobs, and VMEM-feasible
+            # contraction depths (checked below once sizes are known)
+            kernel = ("pallas" if _is_tpu() and mesh is None
+                      and (keep, n_chunks) == (5, 6) else "xla")
         if kernel not in ("pallas", "xla"):
             raise ValueError(f"Unknown kernel: {kernel}")
+        if kernel == "pallas" and (keep, n_chunks) != (5, 6):
+            raise ValueError(
+                "kernel='pallas' uses a fixed 42-bit truncation and "
+                "ignores keep/n_chunks; use kernel='xla' to vary them"
+            )
         self.kernel = kernel
         #: Optional device mesh: shard the stream over facets/batch
         #: with the same collective pattern as :class:`ShardedSwiftly`,
@@ -193,6 +199,31 @@ class SplitSwiftly:
         #: facet count padded to a mesh multiple; padded facets carry
         #: zero masks and zero input, so they contribute exact zeros
         self.F_pad = -(-self.F // self.n_devices) * self.n_devices
+        if self.kernel == "pallas":
+            # the fused kernel keeps the contraction depth untiled in
+            # its VMEM chunk scratch — large-xM configs don't fit
+            from ..ops.pallas_split import dfc_fits_vmem
+
+            xM, c = core.xM_size, core.xM_yN_size
+            xA, B, Fp = self.xA_size, self.plan.batch, self.F_pad
+            calls = [
+                (xM, c, B * c, "left"),        # contribution (A0)
+                (B * xM, c, xM, "right"),      # contribution (A1t)
+                (xA, xM, xM, "left"),          # finish (Fi rows)
+                (xA, xM, xA, "right"),
+                (xM, xA, xA, "left"),          # backward prepare (Fm)
+                (xM, xA, xM, "right"),
+                (Fp * c, xM, B * xM, "left"),  # extraction (E0)
+                (B * c, xM, c, "right"),       # extraction (E1t)
+            ]
+            if not all(dfc_fits_vmem(*s) for s in calls):
+                if explicit_kernel:
+                    raise ValueError(
+                        f"kernel='pallas' does not fit VMEM at "
+                        f"xM={xM} (the chunk scratch holds the full "
+                        "contraction depth); use kernel='xla'"
+                    )
+                self.kernel = "xla"
         self._build_constants()
         # Warm the split-FFT constant caches OUTSIDE any trace: the
         # lru_cache'd device constants must not be born inside the scan
@@ -220,8 +251,6 @@ class SplitSwiftly:
         core = self.core
         N, yN, xM, c = core.N, core.yN_size, core.xM_size, core.xM_yN_size
         yB = self.yB_size
-        F = self.F
-
         F = self.F_pad  # padded facets: off 0, mask 0 -> exact zeros
         foff0 = np.zeros(F, dtype=np.int64)
         foff1 = np.zeros(F, dtype=np.int64)
@@ -461,22 +490,26 @@ class SplitSwiftly:
         summed = _cdf_sum0(Sv)  # [B, xM, xM] (local-facet sum)
 
         if self.mesh is not None:
-            # exact cross-shard facet reduction: gather every shard's
-            # partial and combine with a true df32 two-sum ladder (a
-            # plain psum would round the hi planes), then keep only
-            # this shard's slice of the subgrid batch
+            # exact cross-shard facet reduction: exchange batch slices
+            # (all_to_all — each shard receives every shard's partial
+            # for ITS Bloc subgrids only) and combine with a true df32
+            # two-sum ladder; a plain psum would round the hi planes,
+            # and an all_gather would materialise n copies of the full
+            # batch on every device
+            n = self.n_devices
+            Bloc = B // n
             parts = tuple(
-                jax.lax.all_gather(p, TILE_AXIS) for p in summed
-            )  # [n, B, xM, xM] per plane
+                jax.lax.all_to_all(
+                    p, TILE_AXIS, split_axis=0, concat_axis=0,
+                    tiled=True,
+                ).reshape((n, Bloc) + p.shape[1:])
+                for p in summed
+            )  # [n, Bloc, xM, xM] per plane, indexed by source shard
             total = tuple(p[0] for p in parts)
-            for i in range(1, self.n_devices):
+            for i in range(1, n):
                 total = _cdf_add(total, tuple(p[i] for p in parts))
+            summed = total
             d = jax.lax.axis_index(TILE_AXIS)
-            Bloc = B // self.n_devices
-            summed = tuple(
-                jax.lax.dynamic_slice_in_dim(p, d * Bloc, Bloc)
-                for p in total
-            )
             my_off1 = jax.lax.dynamic_slice_in_dim(
                 sg_off1, d * Bloc, Bloc)
             my_valid = jax.lax.dynamic_slice_in_dim(

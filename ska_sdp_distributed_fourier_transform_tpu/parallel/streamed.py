@@ -589,19 +589,34 @@ class StreamedSwiftly:
         """
         import os as _os
 
-        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        from ..utils.checkpoint import (
+            input_digest,
+            load_checkpoint,
+            save_checkpoint,
+        )
 
         self.prepare_facets(facet_arrays)
+        digest = input_digest(facet_arrays) if checkpoint else None
         start = 0
         if checkpoint and _os.path.exists(checkpoint):
             arrays, meta = load_checkpoint(checkpoint)
-            if meta.get("fingerprint") == self._fingerprint():
+            if (meta.get("fingerprint") == self._fingerprint()
+                    and meta.get("input_digest") == digest):
                 self._accum = np.asarray(
                     arrays["accum"], dtype=np.complex128
                 )
                 start = int(meta["next_column"])
         if start == 0:
             self.zero_accumulator()
+
+        def save(done):
+            save_checkpoint(
+                checkpoint,
+                {"accum": self._accum},
+                {"next_column": done,
+                 "fingerprint": self._fingerprint(),
+                 "input_digest": digest},
+            )
 
         n_cols = self.plan.n_columns
         for ci in range(start, n_cols):
@@ -610,22 +625,12 @@ class StreamedSwiftly:
             if checkpoint and (
                 done % checkpoint_every == 0 or done == n_cols
             ):
-                save_checkpoint(
-                    checkpoint,
-                    {"accum": self._accum},
-                    {"next_column": done,
-                     "fingerprint": self._fingerprint()},
-                )
+                save(done)
             if (stop_after_columns is not None
                     and done - start >= stop_after_columns
                     and done < n_cols):
                 if checkpoint and done % checkpoint_every:
-                    save_checkpoint(
-                        checkpoint,
-                        {"accum": self._accum},
-                        {"next_column": done,
-                         "fingerprint": self._fingerprint()},
-                    )
+                    save(done)
                 return None, done
         self._BF_F = None  # release before finish
         n = sum(len(cfgs) for cfgs in self.plan.configs)

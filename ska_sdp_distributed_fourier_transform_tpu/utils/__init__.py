@@ -1,7 +1,8 @@
 """Utilities: transfer-safe host<->device movement, profiling/metrics,
 communication accounting, checkpoint/resume."""
 
-from .checkpoint import StreamCheckpointer, load_checkpoint, save_checkpoint
+from .checkpoint import StreamCheckpointer, input_digest, \
+    load_checkpoint, save_checkpoint
 from .memory_plan import MemoryPlan, catalogue_report, plan_config
 from .observability import (
     MemorySampler,
@@ -24,6 +25,7 @@ __all__ = [
     "human_readable_size",
     "performance_report",
     "StreamCheckpointer",
+    "input_digest",
     "load_checkpoint",
     "save_checkpoint",
     "MemoryPlan",

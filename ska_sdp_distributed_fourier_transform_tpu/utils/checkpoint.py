@@ -95,6 +95,24 @@ def save_checkpoint(path, arrays, meta=None):
     os.replace(tmp, path)
 
 
+def input_digest(arrays, max_samples=1 << 20):
+    """Cheap deterministic digest of input arrays for checkpoint
+    identity checks: shapes/dtypes plus a strided value sample (bounded
+    work even for 128k-scale facets). Guards against resuming an
+    accumulator computed from *different* inputs — geometry fingerprints
+    alone cannot tell two source lists apart."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        a = np.asarray(a)
+        h.update(repr((a.shape, str(a.dtype))).encode())
+        flat = a.reshape(-1)
+        step = max(1, flat.size // max_samples)
+        h.update(np.ascontiguousarray(flat[::step]).tobytes())
+    return h.hexdigest()
+
+
 def load_checkpoint(path):
     """Read a checkpoint written by :func:`save_checkpoint`.
 
@@ -131,10 +149,16 @@ class StreamCheckpointer:
     ...     accum = ckpt.step(accum, ci)
     """
 
-    def __init__(self, engine, path, every=8):
+    def __init__(self, engine, path, every=8, extra=None):
         self.engine = engine
         self.path = path
         self.every = every
+        #: JSON-serialisable run identity (sources, engine mode, input
+        #: digest, ...) — the geometry fingerprint cannot distinguish
+        #: two runs of the same config on different inputs. Compared
+        #: tolerantly: checkpoints written before this field existed
+        #: are still accepted.
+        self.extra = extra
 
     def _fingerprint(self):
         core = self.engine.core
@@ -148,12 +172,22 @@ class StreamCheckpointer:
             "acc_layout": 2,
         }
 
+    def _extra_matches(self, meta):
+        if self.extra is None:
+            return True
+        saved = meta.get("extra_fingerprint")
+        if saved is None:
+            return True  # pre-field checkpoint — accept
+        norm = json.loads(json.dumps(self.extra))
+        return saved == norm
+
     def resume(self):
         """Return ``(accumulator, next_column)`` — restored from the
         checkpoint when one exists and matches the engine, else fresh."""
         if os.path.exists(self.path):
             arrays, meta = load_checkpoint(self.path)
-            if meta.get("fingerprint") == self._fingerprint():
+            if (meta.get("fingerprint") == self._fingerprint()
+                    and self._extra_matches(meta)):
                 accum = put_complex(
                     arrays["accum"], self.engine._shard,
                     dtype=self.engine.core.dtype,
@@ -172,6 +206,7 @@ class StreamCheckpointer:
                 {
                     "next_column": done,
                     "fingerprint": self._fingerprint(),
+                    "extra_fingerprint": self.extra,
                 },
             )
         return accum
@@ -187,6 +222,7 @@ class StreamCheckpointer:
             arrays, meta = load_checkpoint(self.path)
             if (
                 meta.get("fingerprint") == self._fingerprint()
+                and self._extra_matches(meta)
                 and "accum_pair" in arrays
             ):
                 import jax
@@ -207,6 +243,7 @@ class StreamCheckpointer:
             {
                 "next_column": int(columns_done),
                 "fingerprint": self._fingerprint(),
+                "extra_fingerprint": self.extra,
             },
         )
         return acc_pair

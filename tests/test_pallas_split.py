@@ -157,6 +157,48 @@ def test_fft_pallas_matches_df_fft(rng, inverse):
     assert rel < 1e-10, rel
 
 
+def test_dfc_vmem_model():
+    """The tile planner fits -512 and -1k configs (shrinking tiles as
+    K grows); K=2048 (xM of the -2k configs, untiled in the chunk
+    scratch) cannot fit at any tiling."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_split import (
+        _plan_tiles,
+        dfc_fits_vmem,
+    )
+
+    assert dfc_fits_vmem(448, 512, 512, "left")
+    assert dfc_fits_vmem(448, 512, 448, "right")
+    assert dfc_fits_vmem(448, 1024, 1024, "left")
+    assert not dfc_fits_vmem(448, 2048, 2048, "left")
+    # larger K must shrink the streamed tile, not the 128-lane dim
+    tm512, tn512 = _plan_tiles(448, 512, 512, "left")
+    tm1k, tn1k = _plan_tiles(448, 1024, 1024, "left")
+    assert tm1k <= tm512 and tn1k >= 64
+
+
+def test_split_engine_rejects_pallas_beyond_vmem():
+    """Explicit kernel='pallas' at an xM=2048 config fails fast at
+    construction instead of kernel-faulting on the chip."""
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        SplitSwiftly,
+    )
+
+    params = dict(
+        W=13.5625, fov=1.0, N=4096, yB_size=1536, yN_size=2048,
+        xA_size=1792, xM_size=2048,
+    )
+    config = SwiftlyConfig(**params)
+    fc = make_full_facet_cover(config)
+    sc = make_full_subgrid_cover(config)
+    with pytest.raises(ValueError, match="VMEM"):
+        SplitSwiftly(config._core, fc, sc, kernel="pallas")
+
+
 def test_split_engine_mesh_matches_single_device():
     """The mesh-sharded split tier (facet/batch sharding, exact
     all_gather + two-sum facet reduction, all_to_all backward) stays in

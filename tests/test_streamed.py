@@ -142,6 +142,31 @@ def test_streamed_checkpoint_resume(tmp_path):
         assert _rmse(a, b) == 0.0
 
 
+def test_streamed_checkpoint_rejects_different_inputs(tmp_path):
+    """A checkpoint from one input set must not satisfy a run on
+    different inputs — the input digest forces a fresh start."""
+    config, fc, sc = _covers(CANONICAL)
+    facets_a = [make_facet(config.image_size, cfg, SOURCES) for cfg in fc]
+    facets_b = [
+        make_facet(config.image_size, cfg, [(2.0, 7, -3)]) for cfg in fc
+    ]
+    ckpt = str(tmp_path / "host_tier.npz")
+    eng = StreamedSwiftly(config._core, fc, sc)
+    out, done = eng.roundtrip(
+        facets_a, checkpoint=ckpt, stop_after_columns=3
+    )
+    assert out is None
+    # same path, different inputs: resume must NOT pick up the stale
+    # accumulator (it would silently mix two runs)
+    eng2 = StreamedSwiftly(config._core, fc, sc)
+    out_b, n = eng2.roundtrip(facets_b, checkpoint=ckpt)
+    assert n == len(sc)
+    eng3 = StreamedSwiftly(config._core, fc, sc)
+    out_ref, _ = eng3.roundtrip(facets_b)  # no checkpoint at all
+    for a, b in zip(out_b, out_ref):
+        assert _rmse(a, b) == 0.0  # bit-identical to a fresh run
+
+
 def test_streamed_mesh_collects_subgrids():
     """Per-subgrid collection through the mesh path matches the
     direct-DFT oracle."""
