@@ -388,7 +388,19 @@ def _dfc_matmul_call(inv, wrr, wii, wss, dplanes, cchunks,
         flops = 6 * G * M * N * K * ((m * (m + 1)) // 2) // m
 
     s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = [jax.ShapeDtypeStruct((G, M, N), jnp.float32)] * 4
+    # inherit the varying-mesh-axes type of the streamed operand so the
+    # call traces under shard_map(check_vma=True) (the data planes and
+    # outputs are facet-sharded in the mesh split tier)
+    try:
+        vma = jax.typeof(dplanes[0]).vma
+    except Exception:
+        vma = None
+    if vma:
+        out_shape = [
+            jax.ShapeDtypeStruct((G, M, N), jnp.float32, vma=vma)
+        ] * 4
+    else:
+        out_shape = [jax.ShapeDtypeStruct((G, M, N), jnp.float32)] * 4
     return pl.pallas_call(
         _make_kernel(m, bits, const_side),
         grid=grid,

@@ -27,6 +27,7 @@ throughput path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -151,14 +152,19 @@ class SplitSwiftly:
         #: fused chunk+dot+combine Pallas kernel
         #: (:mod:`..ops.pallas_split`) — same accuracy class, a
         #: fraction of the runtime of the XLA formulation ("xla").
-        #: ``None`` auto-selects pallas on TPU.
+        #: ``None`` selects "xla" (override with SWIFTLY_SPLIT_KERNEL).
         explicit_kernel = kernel is not None
         if kernel is None:
-            # auto: the fused kernel wherever it applies — single
-            # device, default truncation knobs, and VMEM-feasible
-            # contraction depths (checked below once sizes are known)
-            kernel = ("pallas" if _is_tpu() and mesh is None
-                      and (keep, n_chunks) == (5, 6) else "xla")
+            # auto: the XLA formulation. The fused Pallas kernel
+            # (ops/pallas_split.py) is interpret-verified but has not
+            # yet had a green compiled run on real silicon — a Mosaic
+            # fault wedges the far-end TPU for ~20 min, so it stays
+            # opt-in (kernel="pallas" or SWIFTLY_SPLIT_KERNEL=pallas)
+            # until its first on-chip measurement lands in BENCH_SWEEP.
+            kernel = os.environ.get("SWIFTLY_SPLIT_KERNEL", "xla")
+            if kernel == "pallas" and not (
+                    _is_tpu() and (keep, n_chunks) == (5, 6)):
+                kernel = "xla"
         if kernel not in ("pallas", "xla"):
             raise ValueError(f"Unknown kernel: {kernel}")
         if kernel == "pallas" and (keep, n_chunks) != (5, 6):
@@ -174,14 +180,12 @@ class SplitSwiftly:
         #: ladder, and the backward redistribution is pure data
         #: movement. The reference only reaches complex128 accuracy at
         #: cluster scale on big-memory CPU nodes; this gives the same
-        #: at pod scale. (Fused-kernel mode is single-device for now.)
+        #: at pod scale. Works with both kernels: the fused-kernel
+        #: mode shards its facet-leading pre-chunked operands with the
+        #: facets (chunk scales are global powers of two, so local
+        #: shards stay exact).
         self.mesh = mesh
         self.n_devices = 1 if mesh is None else mesh.devices.size
-        if mesh is not None and kernel == "pallas":
-            raise NotImplementedError(
-                "kernel='pallas' with mesh= is not supported yet; "
-                "use kernel='xla' for the sharded split tier"
-            )
         self.core = core
         sizes = {cfg.size for cfg in facet_configs}
         if len(sizes) != 1:
@@ -206,6 +210,8 @@ class SplitSwiftly:
 
             xM, c = core.xM_size, core.xM_yN_size
             xA, B, Fp = self.xA_size, self.plan.batch, self.F_pad
+            # post-redistribution stages see only this shard's batch
+            Bl = B // self.n_devices
             calls = [
                 (xM, c, B * c, "left"),        # contribution (A0)
                 (B * xM, c, xM, "right"),      # contribution (A1t)
@@ -213,8 +219,8 @@ class SplitSwiftly:
                 (xA, xM, xA, "right"),
                 (xM, xA, xA, "left"),          # backward prepare (Fm)
                 (xM, xA, xM, "right"),
-                (Fp * c, xM, B * xM, "left"),  # extraction (E0)
-                (B * c, xM, c, "right"),       # extraction (E1t)
+                (Fp * c, xM, Bl * xM, "left"),  # extraction (E0)
+                (Bl * c, xM, c, "right"),      # extraction (E1t)
             ]
             if not all(dfc_fits_vmem(*s) for s in calls):
                 if explicit_kernel:
@@ -343,12 +349,22 @@ class SplitSwiftly:
         """The facet-leading constants as one pytree — passed through
         the stream program so the mesh mode can shard them (axis 0)
         while everything else is closure-captured replicated."""
-        return {
+        out = {
             "A0": self._A0, "A1t": self._A1t,
             "ph0": self._phase0, "ph1": self._phase1,
             "fin0": self._fin0_idx, "fin1": self._fin1_idx,
             "m0": self._fmask0, "m1": self._fmask1,
         }
+        if self.kernel == "pallas":
+            # fused-kernel mode: the facet-leading pre-chunked operand
+            # planes ([F, m, R, C] bf16) travel with the facets so the
+            # mesh mode shards them; the power-of-two scales are global
+            # and stay static (local shards remain exact under them)
+            out["A0pc"] = (self._A0_pc.crr, self._A0_pc.cii,
+                           self._A0_pc.css)
+            out["A1tpc"] = (self._A1t_pc.crr, self._A1t_pc.cii,
+                            self._A1t_pc.css)
+        return out
 
     def _col_args(self, ci):
         plan = self.plan
@@ -474,7 +490,10 @@ class SplitSwiftly:
             p.transpose(1, 2, 0, 3).reshape(F, c, B * c) for p in X
         )
         if self.kernel == "pallas":
-            T = dfc_matmul(Xf, self._A0_pc, "left")  # [F, xM, B*c]
+            A0pc = self._A0_pc._replace(
+                crr=Cf["A0pc"][0], cii=Cf["A0pc"][1], css=Cf["A0pc"][2]
+            )
+            T = dfc_matmul(Xf, A0pc, "left")  # [F, xM, B*c]
         else:
             T = _pair_cmatmul(Cf["A0"], Xf, self.keep, self.n_chunks)
         Tv = tuple(
@@ -483,7 +502,11 @@ class SplitSwiftly:
             for p in T
         )
         if self.kernel == "pallas":
-            S = dfc_matmul(Tv, self._A1t_pc, "right")  # [F, B*xM, xM]
+            A1tpc = self._A1t_pc._replace(
+                crr=Cf["A1tpc"][0], cii=Cf["A1tpc"][1],
+                css=Cf["A1tpc"][2],
+            )
+            S = dfc_matmul(Tv, A1tpc, "right")  # [F, B*xM, xM]
         else:
             S = _pair_cmatmul(Tv, Cf["A1t"], self.keep, self.n_chunks)
         Sv = tuple(p.reshape(F, B, xM, xM) for p in S)
@@ -724,12 +747,22 @@ class SplitSwiftly:
 
         from jax.sharding import PartitionSpec as P
 
+        from ..ops.pallas_kernels import _is_tpu
+
         fsh = P(TILE_AXIS)
+        # vma checking stays ON for compiled runs (pallas_split's
+        # out_shapes carry vma); the interpret-mode pallas evaluator
+        # mixes varying and replicated values in its internal
+        # dynamic_slice, so — exactly as in ShardedSwiftly
+        # (distributed.py) — the exemption is scoped to CPU interpret
+        # runs of the fused kernel only.
+        pallas_interpret = self.kernel == "pallas" and not _is_tpu()
         return jax.jit(jax.shard_map(
             run,
             mesh=self.mesh,
             in_specs=(fsh, P(), fsh),  # pytree-prefix specs
             out_specs=fsh,
+            check_vma=not pallas_interpret,
         ))
 
     def roundtrip(self, facet_arrays):

@@ -53,7 +53,12 @@ from ..ops.core import (
     prepare_facet_mxu,
     prepare_facet_op,
 )
-from ..utils.transfer import get_complex, put_complex
+from ..utils.transfer import (
+    get_complex,
+    get_complex_local_shards,
+    put_complex,
+    put_complex_local,
+)
 from .distributed import (
     ColumnPlan,
     _all_to_all_c,
@@ -81,7 +86,7 @@ class StreamedSwiftly:
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  batch_chunk=None, prepare_chunk=2048, precision="high",
-                 fft_impl="xla", mesh=None):
+                 fft_impl="xla", mesh=None, process_local=None):
         self.core = core
         self.precision = jax.lax.Precision(precision)
         if fft_impl not in ("xla", "mxu"):
@@ -134,9 +139,45 @@ class StreamedSwiftly:
 
         self.prepare_chunk = min(prepare_chunk, self.yB_size)
 
-        # Host state (allocated by prepare/zero_accumulator).
-        self._BF_F = None  # [F, yN, yB] core-dtype numpy
-        self._accum = None  # [F, yN, yB] complex128 numpy
+        #: Process-local host state: on a multi-process mesh each
+        #: process keeps only *its* mesh-shard's facets' ``BF_F`` and
+        #: accumulator rows in host RAM (the reference distributes its
+        #: facet state the same way across 320-512 GiB workers,
+        #: reference slurm_scripts/run_distr_single_astrolab.slurm) —
+        #: at 128k the full facet state is ~190 GiB c64, which must not
+        #: be replicated per process. Auto-on when the mesh spans
+        #: multiple ``jax.distributed`` processes.
+        if process_local is None:
+            process_local = (
+                mesh is not None and jax.process_count() > 1
+            )
+        self.process_local = bool(process_local) and mesh is not None
+        #: padded-facet ids whose tile-shard device is addressable from
+        #: this process, in shard order (== host-state row order)
+        floc = self.F_pad // self.n_devices
+        if self.process_local:
+            local_devs = set(jax.local_devices())
+            self._local_pad_fidx = [
+                fi
+                for d_idx, dev in enumerate(mesh.devices.flat)
+                if dev in local_devs
+                for fi in range(d_idx * floc, (d_idx + 1) * floc)
+            ]
+        else:
+            self._local_pad_fidx = list(range(self.F_pad))
+        #: real (non-padding) facet ids stored in this process's host
+        #: state, and their row position in ``_BF_F``/``_accum``
+        self._store_fidx = [
+            fi for fi in self._local_pad_fidx if fi < F
+        ]
+        self._store_pos = {
+            fi: k for k, fi in enumerate(self._store_fidx)
+        }
+
+        # Host state (allocated by prepare/zero_accumulator);
+        # first dim = len(self._store_fidx) (== F unless process_local)
+        self._BF_F = None  # [F_store, yN, yB] core-dtype numpy
+        self._accum = None  # [F_store, yN, yB] complex128 numpy
 
         self._build_operators()
         self._build_programs()
@@ -421,11 +462,24 @@ class StreamedSwiftly:
 
     def prepare_facets(self, facet_arrays):
         """Compute host-resident ``BF_F`` from per-facet host arrays,
-        one yB-column chunk at a time on device."""
+        one yB-column chunk at a time on device.
+
+        In process-local mode only this process's facets are prepared
+        and stored; entries of ``facet_arrays`` for other processes'
+        facets may be ``None``.
+        """
         core = self.core
         yN, yB = core.yN_size, self.yB_size
-        self._BF_F = np.zeros((self.F, yN, yB), dtype=core.dtype)
-        for fi, facet in enumerate(facet_arrays):
+        self._BF_F = np.zeros(
+            (len(self._store_fidx), yN, yB), dtype=core.dtype
+        )
+        for k, fi in enumerate(self._store_fidx):
+            facet = facet_arrays[fi]
+            if facet is None:
+                raise ValueError(
+                    f"facet {fi} is stored on this process but its "
+                    "array is None"
+                )
             off0 = jnp.asarray(self._foff0[fi], jnp.int32)
             for lo in range(0, yB, self.prepare_chunk):
                 hi = min(lo + self.prepare_chunk, yB)
@@ -433,12 +487,13 @@ class StreamedSwiftly:
                     np.asarray(facet)[:, lo:hi], dtype=core.dtype
                 )
                 out = self._prepare_cols(cols, off0)
-                self._BF_F[fi, :, lo:hi] = get_complex(out)
+                self._BF_F[k, :, lo:hi] = get_complex(out)
 
     def zero_accumulator(self):
         """Fresh host-side facet accumulator (complex128)."""
         self._accum = np.zeros(
-            (self.F, self.core.yN_size, self.yB_size), dtype=np.complex128
+            (len(self._store_fidx), self.core.yN_size, self.yB_size),
+            dtype=np.complex128,
         )
 
     def _col_args(self, ci, lo, hi):
@@ -503,15 +558,32 @@ class StreamedSwiftly:
         ``[F, c, yB]`` window rows each way."""
         core = self.core
         c = core.xM_yN_size
-        rows_host = self._gather_rows(self.plan.off0[ci])
-        if self.F_pad != self.F:
-            rows_host = np.concatenate([
-                rows_host,
-                np.zeros((self.F_pad - self.F,) + rows_host.shape[1:],
-                         dtype=rows_host.dtype),
-            ])
-        rows_in = put_complex(rows_host, self._row_shard,
-                              dtype=core.dtype)
+        win = self._gather_rows(self.plan.off0[ci])  # [F_store, c, yB]
+        if self.process_local:
+            # each process contributes its padded-facet rows (zeros for
+            # padding ids) and the global array is assembled shard-wise
+            rows_local = np.zeros(
+                (len(self._local_pad_fidx),) + win.shape[1:],
+                dtype=win.dtype,
+            )
+            for k, fi in enumerate(self._local_pad_fidx):
+                if fi < self.F:
+                    rows_local[k] = win[self._store_pos[fi]]
+            rows_in = put_complex_local(
+                rows_local, self._row_shard, dtype=core.dtype
+            )
+        else:
+            rows_host = win
+            if self.F_pad != self.F:
+                rows_host = np.concatenate([
+                    rows_host,
+                    np.zeros(
+                        (self.F_pad - self.F,) + rows_host.shape[1:],
+                        dtype=rows_host.dtype,
+                    ),
+                ])
+            rows_in = put_complex(rows_host, self._row_shard,
+                                  dtype=core.dtype)
 
         rd = core.real_dtype
         sg, rows_out = self._column_mesh(
@@ -533,44 +605,71 @@ class StreamedSwiftly:
         collected = None
         if collect_subgrids:
             cfgs = self.plan.configs[ci]
-            host_sg = get_complex(sg)
-            collected = [
-                (cfgs[bi], host_sg[bi]) for bi in range(len(cfgs))
-            ]
-        self._scatter_rows(
-            self.plan.off0[ci], get_complex(rows_out)[: self.F]
-        )
+            if self.process_local:
+                # only this process's batch shards come home
+                collected = []
+                for index, data in get_complex_local_shards(sg):
+                    b0 = index[0].start or 0
+                    for bi in range(b0, min(b0 + data.shape[0],
+                                            len(cfgs))):
+                        collected.append((cfgs[bi], data[bi - b0]))
+            else:
+                host_sg = get_complex(sg)
+                collected = [
+                    (cfgs[bi], host_sg[bi]) for bi in range(len(cfgs))
+                ]
+        if self.process_local:
+            win_out = np.zeros_like(win)
+            for index, data in get_complex_local_shards(rows_out):
+                f0 = index[0].start or 0
+                for k in range(data.shape[0]):
+                    fi = f0 + k
+                    if fi < self.F:
+                        win_out[self._store_pos[fi]] = data[k]
+            self._scatter_rows(self.plan.off0[ci], win_out)
+        else:
+            self._scatter_rows(
+                self.plan.off0[ci], get_complex(rows_out)[: self.F]
+            )
         return collected
 
     def finish_facets(self):
         """Finish the host accumulator into per-facet arrays
-        (device axis-0 transform, yB-column chunks)."""
+        (device axis-0 transform, yB-column chunks).
+
+        :return: list of length ``F`` — in process-local mode entries
+            for facets stored on other processes are ``None``
+        """
         core = self.core
         yB = self.yB_size
-        out = []
-        for fi in range(self.F):
+        out = [None] * self.F
+        for k, fi in enumerate(self._store_fidx):
             facet = np.zeros((yB, yB), dtype=core.dtype)
             off0 = jnp.asarray(self._foff0[fi], jnp.int32)
             for lo in range(0, yB, self.prepare_chunk):
                 hi = min(lo + self.prepare_chunk, yB)
                 cols = put_complex(
-                    self._accum[fi, :, lo:hi], dtype=core.dtype
+                    self._accum[k, :, lo:hi], dtype=core.dtype
                 )
                 m0 = jnp.asarray(
                     self._fmask0[fi, :, np.newaxis]
                 ).astype(core.real_dtype)
                 res = self._finish_cols(cols, off0, m0)
                 facet[:, lo:hi] = get_complex(res)
-            out.append(facet)
+            out[fi] = facet
         return out
 
     def _fingerprint(self):
         core = self.core
-        return {
+        fp = {
             "N": core.N, "yN_size": core.yN_size,
             "xM_size": core.xM_size, "W": core.W, "F": self.F,
             "n_columns": self.plan.n_columns, "tier": "host",
         }
+        if self.process_local:
+            fp["process"] = jax.process_index()
+            fp["n_processes"] = jax.process_count()
+        return fp
 
     def roundtrip(self, facet_arrays, checkpoint=None,
                   checkpoint_every=8, stop_after_columns=None):
@@ -595,8 +694,14 @@ class StreamedSwiftly:
             save_checkpoint,
         )
 
+        if checkpoint and self.process_local:
+            # each process checkpoints its own accumulator rows
+            checkpoint = f"{checkpoint}.p{jax.process_index()}"
         self.prepare_facets(facet_arrays)
-        digest = input_digest(facet_arrays) if checkpoint else None
+        digest = (
+            input_digest([facet_arrays[fi] for fi in self._store_fidx])
+            if checkpoint else None
+        )
         start = 0
         if checkpoint and _os.path.exists(checkpoint):
             arrays, meta = load_checkpoint(checkpoint)
@@ -606,6 +711,18 @@ class StreamedSwiftly:
                     arrays["accum"], dtype=np.complex128
                 )
                 start = int(meta["next_column"])
+        if self.process_local and checkpoint:
+            # The column loop is SPMD — every process must resume at
+            # the same column or the collectives deadlock. If any
+            # process's checkpoint is missing/stale, ALL restart clean
+            # (partial credit would double-add the laggard's columns).
+            from jax.experimental import multihost_utils
+
+            starts = multihost_utils.process_allgather(
+                np.int32(start)
+            )
+            if int(starts.min()) != int(starts.max()):
+                start = 0
         if start == 0:
             self.zero_accumulator()
 

@@ -12,12 +12,20 @@ from .observability import (
     human_readable_size,
     performance_report,
 )
-from .transfer import device_rmse, get_complex, put_complex
+from .transfer import (
+    device_rmse,
+    get_complex,
+    get_complex_local_shards,
+    put_complex,
+    put_complex_local,
+)
 
 __all__ = [
     "device_rmse",
     "get_complex",
+    "get_complex_local_shards",
     "put_complex",
+    "put_complex_local",
     "MemorySampler",
     "collective_bytes",
     "engine_collective_bytes",

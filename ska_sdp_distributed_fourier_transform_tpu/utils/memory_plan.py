@@ -66,6 +66,13 @@ class MemoryPlan:
     #: (``StreamedSwiftly(mesh=...)``): per-device peak and feasibility
     host_mesh_peak_device: int = 0
     fits_host_mesh: bool = False
+    #: host tier in process-local mode (multi-process mesh,
+    #: ``StreamedSwiftly(mesh=..., process_local=True)``): host bytes
+    #: per process when one process drives each device — each process
+    #: stores only its mesh-shard's facets' BF_F + accumulator rows
+    #: (with P processes sharing the mesh evenly, multiply by
+    #: ``n_devices / P``)
+    host_bytes_per_process: int = 0
 
     @property
     def resident_total(self):
@@ -88,7 +95,8 @@ class MemoryPlan:
         return (
             f"{self.name} x{self.n_devices}dev: peak {self.peak / gib:.2f}"
             f" GiB/dev ({tier}; host {self.host_bytes / gib:.1f} GiB, "
-            f"host-tier device peak {self.host_peak_device / gib:.2f} GiB)"
+            f"host-tier device peak {self.host_peak_device / gib:.2f} GiB"
+            f", host/process {self.host_bytes_per_process / gib:.1f} GiB)"
         )
 
 
@@ -200,6 +208,7 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
         fits_host_tier=fits_host,
         host_mesh_peak_device=host_mesh_peak,
         fits_host_mesh=fits_host_mesh,
+        host_bytes_per_process=2 * Floc * yN * yB * 8,
     )
 
 

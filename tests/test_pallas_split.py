@@ -242,9 +242,15 @@ def test_split_engine_mesh_matches_single_device():
     assert max(errs) < 5e-9, errs
 
 
-def test_split_engine_mesh_rejects_pallas_kernel():
+def test_split_engine_mesh_pallas_kernel():
+    """The fused kernel on a mesh: facet-leading pre-chunked operands
+    shard with the facets (global power-of-two scales keep local
+    shards exact), the cross-shard reduction is the same two-sum
+    ladder as the XLA-kernel mesh mode. Accuracy must stay in the
+    single-device fused kernel's truncation-floor band."""
     from ska_sdp_distributed_fourier_transform_tpu import (
         SwiftlyConfig,
+        make_facet,
         make_full_facet_cover,
         make_full_subgrid_cover,
     )
@@ -260,9 +266,21 @@ def test_split_engine_mesh_rejects_pallas_kernel():
     config = SwiftlyConfig(**params)
     fc = make_full_facet_cover(config)
     sc = make_full_subgrid_cover(config)
-    with pytest.raises(NotImplementedError):
-        SplitSwiftly(config._core, fc, sc, kernel="pallas",
-                     mesh=make_tile_mesh(4))
+    facets = [
+        make_facet(config.image_size, cfg, [(1, 1, 0)]) for cfg in fc
+    ]
+    eng = SplitSwiftly(config._core, fc, sc, kernel="pallas",
+                       mesh=make_tile_mesh(4))
+    assert eng.kernel == "pallas"
+    out, n = eng.roundtrip(facets)
+    assert n == len(sc)
+    errs = [
+        float(np.sqrt(np.mean(
+            np.abs(out[i] - np.asarray(facets[i])) ** 2
+        )))
+        for i in range(len(fc))
+    ]
+    assert max(errs) < 5e-9, errs
 
 
 def test_split_engine_kernel_mode_matches_xla():

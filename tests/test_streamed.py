@@ -122,6 +122,28 @@ def test_streamed_mesh_matches_single_device(n_devices):
         assert _rmse(a, b) < 1e-12
 
 
+def test_streamed_process_local_matches_mesh():
+    """process_local=True on a single process (all mesh devices local)
+    is bit-identical to the plain mesh path — same compiled program,
+    only the host-side shard assembly differs. The cross-process case
+    is tests/test_multihost.py::test_two_process_host_tier."""
+    config, fc, sc = _covers(CANONICAL)
+    sources = [(1, 1, 0)]
+    facets = [make_facet(config.image_size, cfg, sources) for cfg in fc]
+    mesh = make_tile_mesh(8)
+    eng_m = StreamedSwiftly(config._core, fc, sc, mesh=mesh)
+    assert not eng_m.process_local  # auto stays off single-process
+    out_m, _ = eng_m.roundtrip(facets)
+    eng_p = StreamedSwiftly(
+        config._core, fc, sc, mesh=mesh, process_local=True
+    )
+    assert eng_p._store_fidx == list(range(len(fc)))
+    out_p, n = eng_p.roundtrip(facets)
+    assert n == len(sc)
+    for a, b in zip(out_m, out_p):
+        assert _rmse(a, b) == 0.0
+
+
 def test_streamed_checkpoint_resume(tmp_path):
     """An interrupted host-tier round trip resumes from its checkpoint
     and reproduces the uninterrupted result exactly."""
