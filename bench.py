@@ -269,6 +269,76 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
     return n_subgrids / elapsed, elapsed, n_subgrids, rmse
 
 
+def host_tier_roundtrip(params, sources, n_columns=None):
+    """Timed host-streamed-tier round trip on the default (TPU) backend:
+    BF_F/accumulator live in host RAM; each column moves only its
+    ``[F, c, yB]`` window rows over the host<->device link
+    (parallel/streamed.py). Over the axon tunnel that link is orders of
+    magnitude slower than production PCIe/DMA, so the sg/s is a lower
+    bound dominated by tunnel bandwidth — reported with per-phase times
+    so the compute share is visible."""
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.api_helper import (
+        make_facet,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        StreamedSwiftly,
+    )
+
+    config = SwiftlyConfig(dtype=jnp.complex64, **params)
+    facet_cfgs = make_full_facet_cover(config)
+    sg_cfgs = make_full_subgrid_cover(config)
+    engine = StreamedSwiftly(config._core, facet_cfgs, sg_cfgs)
+    N = config.image_size
+
+    facets = [np.asarray(make_facet(N, cfg, sources))
+              for cfg in facet_cfgs]
+
+    t0 = time.perf_counter()
+    engine.prepare_facets(facets)
+    t_prep = time.perf_counter() - t0
+    log(f"host tier: prepared {len(facets)} facets in {t_prep:.1f}s")
+
+    engine.zero_accumulator()
+    C = engine.plan.n_columns if n_columns is None else min(
+        n_columns, engine.plan.n_columns
+    )
+    n_subgrids = 0
+    t0 = time.perf_counter()
+    for ci in range(C):
+        engine.process_column(ci)
+        n_subgrids += len(engine.plan.configs[ci])
+    t_cols = time.perf_counter() - t0
+    log(f"host tier: {C} columns in {t_cols:.1f}s")
+
+    rmse = None
+    t_fin = 0.0
+    if C == engine.plan.n_columns:
+        engine._BF_F = None
+        t0 = time.perf_counter()
+        out = engine.finish_facets()
+        t_fin = time.perf_counter() - t0
+        errs = [
+            float(np.sqrt(np.mean(np.abs(
+                np.asarray(o) - np.asarray(f)) ** 2)))
+            for o, f in zip(out, facets)
+        ]
+        rmse = max(errs)
+    elapsed = t_prep + t_cols + t_fin
+    extra = {"prepare_s": round(t_prep, 2),
+             "columns_s": round(t_cols, 2),
+             "finish_s": round(t_fin, 2),
+             "tier": "host-streamed (tunnel-bandwidth bound)"}
+    return n_subgrids / elapsed, elapsed, n_subgrids, rmse, extra
+
+
 def cpu_baseline(params, sources, n_sample=3):
     """Per-subgrid cost of the tile-streaming pipeline on CPU (complex64),
     extrapolated from one column: BF prepare (amortised over all columns),
@@ -425,10 +495,26 @@ def main():
                     choices=["pallas", "xla"],
                     help="contraction backend for --precision split "
                     "(default: pallas on TPU, xla elsewhere)")
+    ap.add_argument("--platform", default=None,
+                    choices=["cpu", "tpu"],
+                    help="force a JAX platform (the axon TPU plugin "
+                    "ignores JAX_PLATFORMS; only the jax_platforms "
+                    "config knob works — needed to smoke-test on CPU "
+                    "while the tunnel is down)")
+    ap.add_argument("--host_tier", action="store_true",
+                    help="bench the host-streamed tier (StreamedSwiftly:"
+                    " host-resident BF_F/accumulator, per-column window"
+                    " transfers) instead of the device-resident engine")
     ap.add_argument("--skip_baseline", action="store_true")
     args = ap.parse_args()
 
-    _require_tunnel_alive()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.platform != "cpu":
+        _require_tunnel_alive()
 
     from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
         SWIFT_CONFIGS,
@@ -446,8 +532,13 @@ def main():
         for _ in range(args.source_number)
     ]
 
+    bench_extra = {}
     try:
-        if args.precision == "split":
+        if args.host_tier:
+            sgps, elapsed, n_subgrids, rmse, bench_extra = (
+                host_tier_roundtrip(params, sources, args.columns)
+            )
+        elif args.precision == "split":
             sgps, elapsed, n_subgrids, rmse = split_roundtrip(
                 params, sources, kernel=args.split_kernel
             )
@@ -479,7 +570,8 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"{args.direction}_subgrids_per_s"
+                    ("host_" if args.host_tier else "")
+                    + f"{args.direction}_subgrids_per_s"
                     f"[{args.swift_config}]"
                 ),
                 "value": round(sgps, 3),
@@ -491,7 +583,9 @@ def main():
                     "n_subgrids": n_subgrids,
                     "elapsed_s": round(elapsed, 3),
                     "roundtrip_rmse_c64": rmse,
-                    "chip": "TPU v5e (1 chip)",
+                    "chip": ("CPU (forced)" if args.platform == "cpu"
+                             else "TPU v5e (1 chip)"),
+                    **bench_extra,
                 },
             }
         )

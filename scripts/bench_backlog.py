@@ -1,0 +1,229 @@
+"""Unattended on-chip measurement queue for the round-3 bench backlog.
+
+The axon TPU tunnel died mid-round-2 (BENCH_r02.json) leaving every
+late-round-2 feature interpret-verified only. This script drains the
+measurement backlog the moment the tunnel returns, without a human in
+the loop:
+
+1. wait for the relay port to accept connections,
+2. probe chip aliveness in a fresh process (a wedged far end hangs at
+   execute for ~15-25 min, then recovers — see the tunnel-quirks notes
+   in BENCH_SWEEP.md),
+3. run each queued ``bench.py`` invocation in a fresh subprocess under
+   ``timeout``, appending one JSON record per item to
+   ``BENCH_SWEEP_r03.jsonl``,
+4. after fault-risky items (first-ever hardware compiles of Mosaic
+   kernels), re-probe aliveness and sleep out a wedge before moving on.
+
+Run: ``python scripts/bench_backlog.py [--no_wait] [--only NAME,...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH_SWEEP_r03.jsonl")
+PY = sys.executable
+
+# (name, extra argv, extra env, timeout_s, fault_risky)
+QUEUE = [
+    # 1. headline re-measure (round-2 record: 1101 sg/s @ 16k)
+    ("headline_16k", ["--skip_baseline"], {}, 2400, False),
+    # 2. gather-fused contribution kernel (built round 2, never timed)
+    ("gather_fused_16k", ["--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 2400, True),
+    ("gather_fused_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 1800, False),
+    # 3. ys accumulator mode (round 3: S8 fold out of the scan carry)
+    ("acc_ys_16k", ["--skip_baseline"], {"SWIFTLY_ACC": "ys"},
+     2400, False),
+    # 4. split tier: XLA formulation sanity (round-2 record: 74.7 sg/s)
+    ("split_xla_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--precision", "split",
+      "--split_kernel", "xla", "--skip_baseline"], {}, 2400, False),
+    # 5. split tier: fused Pallas kernel — FIRST hardware compile of
+    #    ops/pallas_split.py (VMEM-modeled, interpret-verified; a
+    #    Mosaic fault wedges the far end ~20 min)
+    ("split_pallas_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--precision", "split",
+      "--split_kernel", "pallas", "--skip_baseline"], {}, 3000, True),
+    # 6. scan-shape knobs at 16k
+    ("cols2_16k", ["--skip_baseline"],
+     {"SWIFTLY_COLUMNS_PER_STEP": "2"}, 2400, False),
+    ("unroll2_16k", ["--skip_baseline"],
+     {"SWIFTLY_SCAN_UNROLL": "2"}, 2400, False),
+    # 7. fused bwd transform together with the ys accumulator (the
+    #    round-2 'both' regression was VMEM pressure; ys changes it)
+    ("acc_ys_fft_both_16k", ["--skip_baseline"],
+     {"SWIFTLY_ACC": "ys", "SWIFTLY_FUSED_FFT": "both"}, 2400, True),
+    # 8. host-streamed tier (bounded columns: the tunnel link is the
+    #    bottleneck, this records the lower bound + phase split)
+    ("host_tier_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--host_tier", "--columns",
+      "4", "--skip_baseline"], {}, 3600, False),
+]
+
+# yN=2048 Mosaic-fault bisection (scripts/mosaic_yn2048_repro.py
+# --engine): the full default engine is known to fault with the
+# demotion bypassed; each rung removes one feature. Every FAULT costs
+# a ~20 min far-end wedge, so this ladder runs LAST. A rung that exits
+# 0 ran clean — the previously-removed feature is the trigger.
+REPRO_LADDER = [
+    ("yn2048_full", ["--engine"], {}, 1800, True),
+    ("yn2048_no_pallas", ["--engine", "--engine_mode", "matmul"],
+     {}, 1800, True),
+    ("yn2048_no_fusedfft", ["--engine", "--fused_fft", "off"],
+     {}, 1800, True),
+    ("yn2048_acc_ys", ["--engine", "--acc_mode", "ys"], {}, 1800, True),
+    ("yn2048_percol", ["--engine", "--columns", "2"], {}, 1800, True),
+]
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def port_open(host="127.0.0.1", port=8082, timeout=3.0):
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def chip_alive(timeout_s=360):
+    """Trivial dependency-chained compute in a fresh process."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256), jnp.bfloat16);"
+        "y = (x @ x).sum();"
+        "print('ALIVE', float(y))"
+    )
+    try:
+        r = subprocess.run(
+            [PY, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0 and "ALIVE" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_alive(max_wait_s=2400):
+    """Wait out a wedge (observed recovery ~15-25 min; f64 wedges
+    longer)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if chip_alive():
+            return True
+        log("chip not responding; sleeping 300s (wedge recovery)")
+        time.sleep(300)
+    return False
+
+
+def record(entry):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def run_item(name, argv, env_extra, timeout_s, script="bench.py"):
+    env = dict(os.environ, SWIFTLY_BENCH_NO_PROBE="1", **env_extra)
+    cmd = [PY, os.path.join(REPO, script)] + argv
+    log(f"running {name}: {' '.join(argv)} env={env_extra}")
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            cwd=REPO, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        record({"name": name, "env": env_extra, "argv": argv,
+                "status": "timeout", "elapsed_s": round(time.time() - t0)})
+        log(f"{name}: TIMEOUT after {timeout_s}s")
+        return "timeout"
+    result = None
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    ok = r.returncode == 0
+    record({
+        "name": name, "env": env_extra, "argv": argv,
+        "status": "ok" if ok else "error",
+        "returncode": r.returncode,
+        "elapsed_s": round(time.time() - t0),
+        "result": result,
+        "stdout_tail": r.stdout[-400:] if result is None else None,
+        "stderr_tail": r.stderr[-1500:] if r.returncode else
+        r.stderr[-400:],
+    })
+    log(f"{name}: rc={r.returncode} "
+        f"{result.get('value') if result else 'no result'}")
+    return "ok" if ok else "error"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no_wait", action="store_true",
+                    help="fail immediately if the tunnel is down")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated item names to run")
+    ap.add_argument("--max_tunnel_wait_h", type=float, default=12.0)
+    ap.add_argument("--repro_ladder", action="store_true",
+                    help="also run the yN=2048 Mosaic-fault bisection "
+                    "(each fault costs a ~20 min wedge; runs last)")
+    args = ap.parse_args()
+
+    queue = [q + ("bench.py",) for q in QUEUE]
+    if args.repro_ladder:
+        queue += [
+            q + ("scripts/mosaic_yn2048_repro.py",)
+            for q in REPRO_LADDER
+        ]
+    if args.only:
+        names = set(args.only.split(","))
+        queue = [q for q in queue if q[0] in names]
+
+    t0 = time.time()
+    while not port_open():
+        if args.no_wait:
+            log("tunnel down (--no_wait); exiting 2")
+            sys.exit(2)
+        if time.time() - t0 > args.max_tunnel_wait_h * 3600:
+            log("tunnel never came back; exiting 2")
+            sys.exit(2)
+        time.sleep(60)
+    log("tunnel port open")
+    if not wait_alive():
+        log("chip never became responsive; exiting 2")
+        sys.exit(2)
+    log("chip alive; draining queue")
+    record({"name": "_start", "ts": time.strftime("%F %T"),
+            "items": [q[0] for q in queue]})
+
+    for name, argv, env_extra, timeout_s, risky, script in queue:
+        status = run_item(name, argv, env_extra, timeout_s, script)
+        if status != "ok" and risky:
+            log(f"{name} failed and was fault-risky; waiting out a "
+                "possible wedge before continuing")
+            if not wait_alive():
+                log("chip gone; stopping the queue")
+                record({"name": "_abort", "after": name})
+                sys.exit(1)
+    record({"name": "_done", "ts": time.strftime("%F %T")})
+    log("queue drained")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,80 @@ needs the chip, in a fresh process, under `timeout`:
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+
+
+def engine_bisect(engine_mode, fused_fft, acc_mode, columns):
+    """Run the REAL 4k[1]-n2k-512 fused stream with the yN=2048 mxu
+    demotion bypassed (SWIFTLY_FORCE_MXU_YN2048=1) and the given engine
+    feature toggles. The full default engine is known to kernel-fault;
+    removing features until a combination runs clean identifies the
+    load-bearing trigger, which the minimal repro above (plain fft_mxu
+    in a scan) under-constrains.
+
+    Bisection ladder (each run is one chip compile + bounded stream):
+      full:   --engine_mode pallas --fused_fft fwd --acc_mode carry
+      -pallas: --engine_mode matmul  (drops the sandwich kernels)
+      -fft:   --fused_fft off        (drops the fused transform kernel)
+      -carry: --acc_mode ys          (drops the DUS carry fold)
+    Exit 0 = ran clean; a kernel fault hangs/aborts the process (run
+    under `timeout`, expect a ~20 min far-end wedge after a fault).
+    """
+    os.environ["SWIFTLY_FORCE_MXU_YN2048"] = "1"
+    import jax
+    import numpy as np
+
+    from ska_sdp_distributed_fourier_transform_tpu import (
+        SwiftlyConfig,
+        make_full_facet_cover,
+        make_full_subgrid_cover,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.api_helper import (
+        make_facet,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.parallel import (
+        ShardedSwiftly,
+        make_tile_mesh,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    params = dict(SWIFT_CONFIGS["4k[1]-n2k-512"])
+    config = SwiftlyConfig(dtype=np.complex64, **params)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    eng = ShardedSwiftly(
+        config._core, fcs, sgs, make_tile_mesh(),
+        engine_mode=engine_mode, fused_fft=fused_fft,
+        acc_mode=acc_mode, fft_impl="mxu",
+    )
+    assert eng.fft_impl == "mxu", "demotion bypass did not take"
+    if columns:
+        # bounded per-column driving (compiles the same column programs)
+        facets = [make_facet(config.image_size, c, [(1.0, 1, 0)])
+                  for c in fcs]
+        packed = eng.pack_facets(facets)
+        BF_F = eng.prepare_facets(packed)
+        accum = eng.zero_accumulator()
+        for ci in range(min(columns, eng.plan.n_columns)):
+            sg = eng.forward_column(BF_F, ci)
+            accum = eng.backward_column(sg, ci, accum)
+        jax.block_until_ready(accum)
+    else:
+        facets = [make_facet(config.image_size, c, [(1.0, 1, 0)])
+                  for c in fcs]
+        out, n = eng.roundtrip(eng.pack_facets(facets))
+        jax.block_until_ready(out)
+    print(f"CLEAN: engine_mode={engine_mode} fused_fft={fused_fft} "
+          f"acc_mode={acc_mode} columns={columns or 'full'} "
+          "ran without a kernel fault at yN=2048/mxu")
 
 
 def main(n=2048, rows=512, steps=4):
@@ -72,4 +140,22 @@ def main(n=2048, rows=512, steps=4):
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", action="store_true",
+                    help="run the real 4k engine with the demotion "
+                    "bypassed instead of the minimal scan repro")
+    ap.add_argument("--engine_mode", default="pallas",
+                    choices=["pallas", "matmul", "fft"])
+    ap.add_argument("--fused_fft", default="fwd",
+                    choices=["off", "fwd", "bwd", "both"])
+    ap.add_argument("--acc_mode", default="carry",
+                    choices=["carry", "ys"])
+    ap.add_argument("--columns", type=int, default=0,
+                    help=">0: bounded per-column driving instead of "
+                    "the fused stream")
+    args = ap.parse_args()
+    if args.engine:
+        engine_bisect(args.engine_mode, args.fused_fft, args.acc_mode,
+                      args.columns)
+    else:
+        main()

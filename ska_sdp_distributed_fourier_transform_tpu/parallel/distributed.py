@@ -192,14 +192,20 @@ class ShardedSwiftly:
     :param columns_per_step: columns per fused-stream scan step
         (operator modes); >1 vmaps the forward passes — measured
         neutral-to-slower on v5e, kept as a tuning knob for other
-        hardware.
+        hardware. ``None`` defers to ``SWIFTLY_COLUMNS_PER_STEP``.
+    :param acc_mode: backward-accumulator strategy for the fused
+        stream: ``"carry"`` (pair accumulator as the scan carry,
+        per-column DUS fold) or ``"ys"`` (columns' finished rows as
+        stacked scan outputs, one post-scan static scatter-add; drops
+        the multi-GB carry from the scan). ``None`` defers to
+        ``SWIFTLY_ACC``.
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  mesh=None, engine_mode="matmul", precision="high",
-                 process_subgrid=None, columns_per_step=1,
+                 process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
-                 gather_fused=None):
+                 gather_fused=None, acc_mode=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -216,8 +222,30 @@ class ShardedSwiftly:
         self.process_subgrid = process_subgrid
         # Fused-stream scan granularity: >1 lets XLA interleave one
         # column's FFT chain (VPU) with another's contractions (MXU)
-        # within a scan step (operator engine modes only).
+        # within a scan step (operator engine modes only). None defers
+        # to the SWIFTLY_COLUMNS_PER_STEP env knob (default 1).
+        if columns_per_step is None:
+            columns_per_step = int(
+                os.environ.get("SWIFTLY_COLUMNS_PER_STEP", "1")
+            )
         self.columns_per_step = int(columns_per_step)
+        # Backward-accumulator strategy for the fused whole-stream
+        # program (operator modes, columns_per_step == 1):
+        #   "carry" (default): the padded f32-pair accumulator is the
+        #     scan carry, folded per column by dynamic_update_slice.
+        #   "ys": the scan emits each column's finished rows as stacked
+        #     outputs and ONE static-index scatter-add after the scan
+        #     builds the accumulator — the multi-GB carry leaves the
+        #     scan entirely (trades per-column DUS traffic for one
+        #     [C, 2, Floc, c, yB] buffer + one post-pass; candidate for
+        #     the S8 fold + scan-plumbing time in the round-2 stage
+        #     bisection, BENCH_SWEEP.md).
+        # None defers to the SWIFTLY_ACC env knob.
+        if acc_mode is None:
+            acc_mode = os.environ.get("SWIFTLY_ACC", "carry")
+        if acc_mode not in ("carry", "ys"):
+            raise ValueError(f"Unknown acc_mode: {acc_mode}")
+        self.acc_mode = acc_mode
         # yN-scale facet transforms: "mxu" (default) uses the four-step
         # factor-matmul FFT (ops.fft_mxu) — +23% end-to-end on v5e by
         # sidestepping the layout copies XLA inserts around FFTs;
@@ -400,7 +428,10 @@ class ShardedSwiftly:
         # Re-tested on jax 0.9.0 (2026-08-17): the minimised repro
         # (scripts/mosaic_yn2048_repro.py) now runs clean but the full
         # engine still faults — the repro under-constrains the trigger.
-        if fft_impl == "mxu" and yN == 2048:
+        # SWIFTLY_FORCE_MXU_YN2048=1 bypasses the demotion so the repro
+        # script can bisect the faulting feature combination on chip.
+        if (fft_impl == "mxu" and yN == 2048
+                and os.environ.get("SWIFTLY_FORCE_MXU_YN2048") != "1"):
             fft_impl = "xla"
         if fft_impl == "mxu":
             prep_facet = prepare_facet_mxu
@@ -861,16 +892,66 @@ class ShardedSwiftly:
         # per-column dispatch overhead (which dominates on tunnelled or
         # small-problem setups).
         if self._operator_mode:
+            # Static per-column scatter rows (padded accumulator space)
+            # for the ys accumulator mode: finished row k of column ci
+            # lands at padded row start + ((k - s0) mod c) — the same
+            # placement _pair_fold reaches via roll + DUS, but with the
+            # indices known at trace time (plan offsets are host data).
+            _offs0 = np.asarray(
+                self.plan.off0[: self.plan.n_columns], np.int64
+            )
+            _s0s = _offs0 // (N // yN)
+            _starts = (yN // 2 - c // 2 + _s0s) % yN
+            _k0 = np.arange(c, dtype=np.int64)
+            _ys_rows = (
+                _starts[:, None] + (_k0[None, :] - _s0s[:, None]) % c
+            ).reshape(-1).astype(np.int32)  # [C * c]
+            use_ys = self.acc_mode == "ys" and self.columns_per_step == 1
 
             def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
                              foff1, ph1, foff1_r, fmask0, fmask1_r,
                              cols):
                 BF_F = prepare_local(facets, foff0)
+                Floc = facets.shape[0]
+
+                if use_ys:
+                    # ys mode: no multi-GB carry — each column's
+                    # finished rows are stacked scan outputs; one
+                    # static-index scatter-add builds the padded pair
+                    # accumulator after the scan.
+                    def body_ys(_, col):
+                        off0, sg_off1, valid, mask0, mask1 = col
+                        sg = fwd_column_local_mm(
+                            BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
+                            sg_off1, valid, mask0, mask1,
+                        )
+                        NAF_BMNAF, _, _ = _bwd_nafb_mm(
+                            sg, E0, E1, F_xM, foff1_r, fmask1_r,
+                            off0, sg_off1, valid,
+                        )
+                        u = jnp.stack(
+                            [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
+                        ).astype(rdtype)  # [2, Floc, c, yB]
+                        return 0, u
+
+                    _, ys = jax.lax.scan(
+                        body_ys, 0, cols, unroll=self.scan_unroll,
+                    )  # [C, 2, Floc, c, yB]
+                    u_all = jnp.transpose(
+                        ys, (1, 2, 0, 3, 4)
+                    ).reshape(2, Floc, -1, yB)
+                    accum0 = _varying_zeros(
+                        (2, Floc, yN + c, yB), rdtype
+                    )
+                    return accum0.at[:, :, jnp.asarray(_ys_rows), :].add(
+                        u_all, mode="promise_in_bounds"
+                    )
+
                 # the carry is an f32 (real, imag) pair: float scatters
                 # are the native TPU path, and complex scatters on a scan
                 # carry miscompile for some shapes
                 accum0 = _varying_zeros(
-                    (2, facets.shape[0], yN + c, yB), rdtype
+                    (2, Floc, yN + c, yB), rdtype
                 )
 
                 k = self.columns_per_step

@@ -39,6 +39,7 @@ reference only achieves with multi-hundred-GiB cluster nodes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -92,8 +93,10 @@ class StreamedSwiftly:
         if fft_impl not in ("xla", "mxu"):
             raise ValueError(f"Unknown fft_impl: {fft_impl}")
         # Same Mosaic workaround as ShardedSwiftly._build_programs
-        # (still faults on jax 0.9.0; minimised repro passes).
-        if fft_impl == "mxu" and core.yN_size == 2048:
+        # (still faults on jax 0.9.0; minimised repro passes);
+        # SWIFTLY_FORCE_MXU_YN2048=1 bypasses it for on-chip bisection.
+        if (fft_impl == "mxu" and core.yN_size == 2048
+                and os.environ.get("SWIFTLY_FORCE_MXU_YN2048") != "1"):
             fft_impl = "xla"
         self.fft_impl = fft_impl
         #: Optional device mesh: shard the per-column device working set

@@ -253,3 +253,30 @@ def test_fft_impl_equivalence():
     np.testing.assert_allclose(
         np.asarray(outs["mxu"]), np.asarray(outs["xla"]), atol=1e-10
     )
+
+def test_acc_mode_ys_matches_carry():
+    """The ys accumulator mode (columns' finished rows as stacked scan
+    outputs + one post-scan static scatter-add) reproduces the carry
+    mode's round trip. Equal values are summed in a different order
+    where column wrap-windows overlap, so the comparison is at c64
+    rounding, and the result must still beat the reference bound."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+    outs = {}
+    for mode in ("carry", "ys"):
+        eng = ShardedSwiftly(config._core, fcs, sgs, mesh, acc_mode=mode)
+        assert eng.acc_mode == mode
+        outs[mode], n = eng.roundtrip(eng.pack_facets(facets))
+        assert n == len(sgs)
+    a = np.asarray(outs["carry"])
+    b = np.asarray(outs["ys"])
+    np.testing.assert_allclose(b, a, atol=1e-6)
+    for fi, cfg in enumerate(fcs):
+        err = check_facet(
+            config.image_size, cfg,
+            np.asarray(b[fi, : cfg.size, : cfg.size]), SOURCES,
+        )
+        assert err < 1e-6  # c64 working precision
