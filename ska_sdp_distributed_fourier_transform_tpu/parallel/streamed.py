@@ -15,8 +15,9 @@ entries whose facet arrays exceed the mesh's aggregate HBM
 * per column, the host gathers the wrap-window row block (contiguous
   modulo yN, so it is two slices + a roll — O(c·yB), no full-array
   traffic), ships it through the float-pair transfer path, and
-  scatter-adds the returned finished rows into the accumulator in
-  complex128 (the host fold costs nothing extra in accuracy);
+  scatter-adds the returned finished rows into the accumulator
+  (complex128 by default — the host fold costs nothing extra in
+  accuracy; ``accum_dtype=complex64`` halves its host RAM);
 * facet prepare/finish (the only yN-scale axis-0 transforms) run on
   device in yB-column chunks, so their footprint is also bounded.
 
@@ -83,13 +84,28 @@ class StreamedSwiftly:
     :param precision: MXU precision for the operator contractions
     :param fft_impl: ``"mxu"``/``"xla"`` for the yN-scale transforms
         (same trade-off as :class:`ShardedSwiftly`)
+    :param accum_dtype: host accumulator dtype — ``complex128``
+        (default) or ``complex64`` (halves accumulator host RAM;
+        equivalent at the engine's c64 working precision)
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  batch_chunk=None, prepare_chunk=2048, precision="high",
-                 fft_impl="xla", mesh=None, process_local=None):
+                 fft_impl="xla", mesh=None, process_local=None,
+                 accum_dtype=None):
         self.core = core
         self.precision = jax.lax.Precision(precision)
+        #: Host accumulator dtype. Default complex128 (the host fold is
+        #: free to be exact). complex64 halves the accumulator's host
+        #: RAM — at 64k that is 53 vs 106 GiB — and costs nothing real
+        #: when the device computes in complex64 anyway (each element
+        #: receives only the 1-2 adds of overlapping column windows).
+        self.accum_dtype = np.dtype(
+            np.complex128 if accum_dtype is None else accum_dtype
+        )
+        if self.accum_dtype not in (np.dtype(np.complex64),
+                                    np.dtype(np.complex128)):
+            raise ValueError(f"Unknown accum_dtype: {accum_dtype}")
         if fft_impl not in ("xla", "mxu"):
             raise ValueError(f"Unknown fft_impl: {fft_impl}")
         # Same Mosaic workaround as ShardedSwiftly._build_programs
@@ -180,7 +196,7 @@ class StreamedSwiftly:
         # Host state (allocated by prepare/zero_accumulator);
         # first dim = len(self._store_fidx) (== F unless process_local)
         self._BF_F = None  # [F_store, yN, yB] core-dtype numpy
-        self._accum = None  # [F_store, yN, yB] complex128 numpy
+        self._accum = None  # [F_store, yN, yB] accum_dtype numpy
 
         self._build_operators()
         self._build_programs()
@@ -493,10 +509,10 @@ class StreamedSwiftly:
                 self._BF_F[k, :, lo:hi] = get_complex(out)
 
     def zero_accumulator(self):
-        """Fresh host-side facet accumulator (complex128)."""
+        """Fresh host-side facet accumulator (``accum_dtype``)."""
         self._accum = np.zeros(
             (len(self._store_fidx), self.core.yN_size, self.yB_size),
-            dtype=np.complex128,
+            dtype=self.accum_dtype,
         )
 
     def _col_args(self, ci, lo, hi):
@@ -672,6 +688,9 @@ class StreamedSwiftly:
         if self.process_local:
             fp["process"] = jax.process_index()
             fp["n_processes"] = jax.process_count()
+        if self.accum_dtype != np.dtype(np.complex128):
+            # non-default only, so pre-existing checkpoints stay valid
+            fp["accum_dtype"] = self.accum_dtype.name
         return fp
 
     def roundtrip(self, facet_arrays, checkpoint=None,
@@ -711,7 +730,7 @@ class StreamedSwiftly:
             if (meta.get("fingerprint") == self._fingerprint()
                     and meta.get("input_digest") == digest):
                 self._accum = np.asarray(
-                    arrays["accum"], dtype=np.complex128
+                    arrays["accum"], dtype=self.accum_dtype
                 )
                 start = int(meta["next_column"])
         if self.process_local and checkpoint:

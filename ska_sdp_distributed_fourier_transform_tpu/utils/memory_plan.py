@@ -100,7 +100,8 @@ class MemoryPlan:
         )
 
 
-def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
+def plan_config(params, n_devices=1, dtype_bytes=8, name="",
+                host_accum_bytes=16):
     """Model the sharded engine's memory for ``params`` on a mesh.
 
     :param params: SWIFT_CONFIGS-style dict (``N``, ``yB_size``,
@@ -109,6 +110,9 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
     :param dtype_bytes: bytes per complex element (8 = complex64; the
         f32-pair accumulator costs the same 8)
     :param name: label for reports
+    :param host_accum_bytes: bytes per element of the host tier's facet
+        accumulator — 16 matches ``StreamedSwiftly``'s complex128
+        default, 8 its ``accum_dtype=complex64`` option
     :return: :class:`MemoryPlan`
     """
     N = params["N"]
@@ -149,7 +153,9 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
     # in host RAM; the device holds one column's working set, with the
     # column's subgrid batch processed in chunks (the facet sum is over
     # facets, so batch chunking is exact).
-    host_bytes = 2 * F * yN * yB * 8  # BF_F (f32 pair) + accum (f32 pair)
+    # BF_F (core dtype) + accumulator (complex128 by default — the
+    # StreamedSwiftly allocation, not an f32 pair)
+    host_bytes = F * yN * yB * (d + host_accum_bytes)
     Fh = F  # host tier computes all facets' contributions on the chip
 
     def host_col(bchunk):
@@ -208,7 +214,7 @@ def plan_config(params, n_devices=1, dtype_bytes=8, name=""):
         fits_host_tier=fits_host,
         host_mesh_peak_device=host_mesh_peak,
         fits_host_mesh=fits_host_mesh,
-        host_bytes_per_process=2 * Floc * yN * yB * 8,
+        host_bytes_per_process=Floc * yN * yB * (d + host_accum_bytes),
     )
 
 

@@ -271,3 +271,37 @@ def test_memory_plan_catalogue_complete():
     assert not bad, bad
     tiers = {v["tier"] for v in report.values()}
     assert tiers <= {"device", "host"}
+
+def test_streamed_accum_dtype_c64_matches_default():
+    """accum_dtype=complex64 halves the host accumulator's RAM and is
+    equivalent at the engine's c64 working precision (each accumulator
+    element receives only the adds of overlapping column windows)."""
+    config, fc, sc = _covers(CANONICAL)
+    sources = [(1, 1, 0)]
+    facets = [make_facet(config.image_size, cfg, sources) for cfg in fc]
+    eng_d = StreamedSwiftly(config._core, fc, sc)
+    out_d, _ = eng_d.roundtrip(facets)
+    eng_c = StreamedSwiftly(config._core, fc, sc,
+                            accum_dtype=np.complex64)
+    assert eng_c.accum_dtype == np.dtype(np.complex64)
+    out_c, n = eng_c.roundtrip(facets)
+    assert n == len(sc)
+    for a, b, f in zip(out_d, out_c, facets):
+        assert _rmse(a, b) < 1e-6  # c64 rounding only
+        assert _rmse(b, np.asarray(f)) < 1e-4
+
+
+def test_memory_plan_host_accum_dtype():
+    """The host-tier RAM model reflects the real accumulator dtype:
+    complex128 by default (StreamedSwiftly.zero_accumulator), halved
+    by accum_dtype=complex64."""
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    params = SWIFT_CONFIGS["64k[1]-n32k-512"]
+    p128 = plan_config(params, 1)
+    p64 = plan_config(params, 1, host_accum_bytes=8)
+    F, yN, yB = p128.F, params["yN_size"], params["yB_size"]
+    assert p128.host_bytes == F * yN * yB * 24  # c64 BF_F + c128 accum
+    assert p64.host_bytes == F * yN * yB * 16
