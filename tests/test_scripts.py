@@ -117,3 +117,44 @@ def test_error_map_script(tmp_path):
     assert len(maps) == 9
     emap = numpy.load(maps[0])
     assert emap.max() < 1e-7  # scheme error level, not garbage
+
+def test_hosttier_64k_runner_smoke(tmp_path):
+    """The bounded host-tier session runner (the 64k artifact producer)
+    executes real columns and records measured-vs-modeled memory."""
+    out = tmp_path / "hosttier.json"
+    res = run_script(
+        "hosttier_64k.py", "--swift_config", "1k[1]-n512-256",
+        "--columns", "2", "--out", str(out),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json as _json
+
+    rec = _json.loads(out.read_text())
+    assert rec["columns_executed"] == 2
+    assert rec["accum_abs_max"] > 0
+    assert rec["measured"]["peak_rss_gib"] > 0
+
+
+def test_bench_backlog_no_wait_exits_cleanly():
+    """With the tunnel down and --no_wait, the measurement queue must
+    exit 2 without touching the chip or writing records."""
+    res = run_script("bench_backlog.py", "--no_wait", timeout=60)
+    if res.returncode == 0:
+        pytest.skip("tunnel is up; the queue would actually run")
+    assert res.returncode == 2, res.stdout + res.stderr
+
+
+def test_bench_host_tier_cpu_smoke():
+    env = dict(os.environ, SWIFTLY_BENCH_NO_PROBE="1")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--swift_config", "1k[1]-n512-256", "--host_tier",
+         "--skip_baseline", "--source_number", "2", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json as _json
+
+    rec = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["metric"].startswith("host_roundtrip")
+    assert rec["extra"]["columns_s"] > 0
