@@ -217,7 +217,7 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
         out = run()
         elapsed = time.perf_counter() - t0
         del out
-        return n_subgrids / elapsed, elapsed, n_subgrids, None
+        return n_subgrids / elapsed, elapsed, n_subgrids, None, {}
 
     # Built once: nothing in the stream donates or mutates it.
     packed_in = build_device_facets(engine, facet_cfgs, sources, N)
@@ -260,13 +260,28 @@ def tpu_roundtrip(params, sources, n_columns=None, engine_mode="matmul",
 
     # Round-trip accuracy (only meaningful over the full cover).
     rmse = None
+    extra = {}
     if C == engine.plan.n_columns:
         from ska_sdp_distributed_fourier_transform_tpu.utils import (
             device_rmse,
         )
 
         rmse = float(device_rmse(facets_out, packed_in))
-    return n_subgrids / elapsed, elapsed, n_subgrids, rmse
+        # MFU / %-of-peak from the compiler's own cost analysis of the
+        # fused stream (per-chip peaks: v5e ~197 TF/s bf16 MXU,
+        # ~819 GB/s HBM). Both numbers at once show which roof binds.
+        try:
+            cost = engine.stream_cost()
+            extra["stream_tflop"] = round(cost["flops"] / 1e12, 4)
+            extra["mfu_pct"] = round(
+                100 * cost["flops"] / elapsed / 197e12, 2
+            )
+            extra["hbm_pct"] = round(
+                100 * cost["bytes"] / elapsed / 819e9, 2
+            )
+        except Exception as e:  # cost analysis is best-effort
+            log(f"stream_cost unavailable: {e}")
+    return n_subgrids / elapsed, elapsed, n_subgrids, rmse, extra
 
 
 def host_tier_roundtrip(params, sources, n_columns=None):
@@ -543,9 +558,11 @@ def main():
                 params, sources, kernel=args.split_kernel
             )
         else:
-            sgps, elapsed, n_subgrids, rmse = tpu_roundtrip(
-                params, sources, args.columns, args.engine_mode,
-                args.precision, args.direction, args.fft_impl,
+            sgps, elapsed, n_subgrids, rmse, bench_extra = (
+                tpu_roundtrip(
+                    params, sources, args.columns, args.engine_mode,
+                    args.precision, args.direction, args.fft_impl,
+                )
             )
     except Exception as e:
         # Tunnelled TPU attachments fail transiently and can wedge the

@@ -1348,12 +1348,14 @@ class ShardedSwiftly:
             acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
         )
 
-    def _run_stream(self, packed_facets):
+    def _stream_args(self, packed_facets):
+        """Argument tuple for ``self._stream`` (shared by execution and
+        AOT cost analysis)."""
         cols = self._all_col_args(
             self.columns_per_step if self._operator_mode else 1
         )
         if self._operator_mode:
-            acc_pair = self._stream(
+            return (
                 packed_facets,
                 self._dev_c("A0", self._A0),
                 self._dev_c("A1", self._A1),
@@ -1369,20 +1371,52 @@ class ShardedSwiftly:
                 self._dev(self._fmask1, repl=True),
                 cols,
             )
-        else:
-            acc_pair = self._stream(
-                packed_facets,
-                self._dev(self._foff0),
-                self._dev(self._foff1),
-                self._dev(self._foff0, repl=True),
-                self._dev(self._foff1, repl=True),
-                self._dev(self._fmask0),
-                self._dev(self._fmask1, repl=True),
-                cols,
-            )
+        return (
+            packed_facets,
+            self._dev(self._foff0),
+            self._dev(self._foff1),
+            self._dev(self._foff0, repl=True),
+            self._dev(self._foff1, repl=True),
+            self._dev(self._fmask0),
+            self._dev(self._fmask1, repl=True),
+            cols,
+        )
+
+    def _run_stream(self, packed_facets):
+        acc_pair = self._stream(*self._stream_args(packed_facets))
         return self._finish_pair(
             acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
         )
+
+    def stream_cost(self):
+        """XLA cost analysis of the whole fused-stream program
+        (+ the separate finish program): ``{"flops": ..., "bytes":
+        ...}`` summed over both compiled HLOs. Powers the MFU /
+        %-of-peak report in ``bench.py`` — the compiler's own count of
+        what the stream executes, not an analytic model."""
+        core = self.core
+        yB = self.yB_size
+        facets = jax.ShapeDtypeStruct(
+            (self.F_pad, yB, yB), core.dtype, sharding=self._shard
+        )
+        total = {"flops": 0.0, "bytes": 0.0}
+        compiled_stream = self._stream.lower(
+            *self._stream_args(facets)
+        ).compile()
+        acc_pair = jax.ShapeDtypeStruct(
+            (2, self.F_pad, core.yN_size + core.xM_yN_size, yB),
+            core.real_dtype, sharding=self._pair_shard,
+        )
+        compiled_finish = self._finish_pair.lower(
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+        ).compile()
+        for compiled in (compiled_stream, compiled_finish):
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            total["flops"] += float(ca.get("flops", 0.0))
+            total["bytes"] += float(ca.get("bytes accessed", 0.0))
+        return total
 
     # ------------------------------------------------- checkpointed stream
 
