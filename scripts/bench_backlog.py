@@ -71,6 +71,79 @@ QUEUE = [
       "4", "--skip_baseline"], {}, 3600, False),
 ]
 
+# Wave 2 (after the first drain, 2026-08-18): gather_fused won
+# (+8.9% at 16k, bit-identical RMSE), ys/cols2 lost, split_pallas
+# compile-OOMed (VMEM planner recalibrated to a 12.8M budget —
+# ops/pallas_split.py). Combos of the winner + the fixed kernel.
+WAVE2 = [
+    ("split_pallas_4k_v2",
+     ["--swift_config", "4k[1]-n2k-512", "--precision", "split",
+      "--split_kernel", "pallas", "--skip_baseline"], {}, 3000, True),
+    ("gf_fft_both_16k", ["--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1", "SWIFTLY_FUSED_FFT": "both"},
+     2400, True),
+    ("gf_4k", ["--swift_config", "4k[1]-n2k-512", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 1800, False),
+    ("gf_8k_n8k_256",
+     ["--swift_config", "8k[1]-n8k-256", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 1800, False),
+    ("gf_prec_default_16k",
+     ["--precision", "default", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 2400, False),
+    ("gf_dir_16k", ["--direction", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1"}, 2400, False),
+]
+
+# Wave 3: the gf+fft_both combo won at 16k (1234.9 @ 1.10e-7 vs
+# 1097 @ 1.40e-7) and the fixed split kernel measured 195.9 sg/s at
+# 4k. Coverage of the winning combo across the family + direction
+# splits + the host tier with the eager-zeros fix.
+WAVE3 = [
+    ("gf_both_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1", "SWIFTLY_FUSED_FFT": "both"},
+     1800, False),
+    ("gf_both_2k",
+     ["--swift_config", "2k[1]-n1k-512", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1", "SWIFTLY_FUSED_FFT": "both"},
+     1800, True),
+    ("split_pallas_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--precision", "split",
+      "--split_kernel", "pallas", "--skip_baseline"], {}, 3000, True),
+    ("gf_both_fwd_16k", ["--direction", "forward", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1", "SWIFTLY_FUSED_FFT": "both"},
+     2400, False),
+    ("gf_both_bwd_16k", ["--direction", "backward", "--skip_baseline"],
+     {"SWIFTLY_GATHER_FUSED": "1", "SWIFTLY_FUSED_FFT": "both"},
+     2400, False),
+    ("host_tier_8k_v2",
+     ["--swift_config", "8k[1]-n4k-512", "--host_tier", "--columns",
+      "4", "--skip_baseline"], {}, 3600, False),
+]
+
+# Wave 4: the measured winners became the engine defaults
+# (gather_fused at yN>=2048, fused_fft=both at yN>=4096 with gf,
+# split kernel auto=pallas on TPU). Re-measure the family with NO env
+# knobs — exactly the driver's bench invocation.
+WAVE4 = [
+    ("default_16k", ["--skip_baseline"], {}, 2400, False),
+    ("default_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"], {},
+     1800, False),
+    ("default_8k_n8k_256",
+     ["--swift_config", "8k[1]-n8k-256", "--skip_baseline"], {},
+     1800, True),
+    ("default_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--skip_baseline"], {},
+     1800, False),
+    ("default_2k",
+     ["--swift_config", "2k[1]-n1k-512", "--skip_baseline"], {},
+     1800, False),
+    ("default_split_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--precision", "split",
+      "--skip_baseline"], {}, 3000, False),
+]
+
 # yN=2048 Mosaic-fault bisection (scripts/mosaic_yn2048_repro.py
 # --engine): the full default engine is known to fault with the
 # demotion bypassed; each rung removes one feature. Every FAULT costs
@@ -183,9 +256,18 @@ def main():
     ap.add_argument("--repro_ladder", action="store_true",
                     help="also run the yN=2048 Mosaic-fault bisection "
                     "(each fault costs a ~20 min wedge; runs last)")
+    ap.add_argument("--wave2", action="store_true",
+                    help="run the wave-2 combo queue instead of the "
+                    "round-start backlog")
+    ap.add_argument("--wave3", action="store_true",
+                    help="run the wave-3 coverage queue")
+    ap.add_argument("--wave4", action="store_true",
+                    help="run the wave-4 new-defaults queue")
     args = ap.parse_args()
 
-    queue = [q + ("bench.py",) for q in QUEUE]
+    base = (WAVE4 if args.wave4 else WAVE3 if args.wave3
+            else WAVE2 if args.wave2 else QUEUE)
+    queue = [q + ("bench.py",) for q in base]
     if args.repro_ladder:
         queue += [
             q + ("scripts/mosaic_yn2048_repro.py",)

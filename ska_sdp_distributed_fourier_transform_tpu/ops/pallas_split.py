@@ -298,11 +298,18 @@ def _vmem_bytes(TM, TN, K, m, const_side):
     return scratch + data + const + 2 * 4 * TM * TN * 4
 
 
-def _plan_tiles(M, K, N, const_side, budget=15_500_000):
+def _plan_tiles(M, K, N, const_side, budget=12_800_000):
     """Pick ``(TM, TN)`` fitting the calibrated VMEM budget, shrinking
     the streamed-block tiles before the 128-lane dimension; ``None``
     when no tiling fits (K untiled in the chunk scratch — callers fall
-    back to the XLA formulation)."""
+    back to the XLA formulation).
+
+    Budget calibration (first hardware compile, 2026-08-18, v5e): at
+    K=448/m=7/left, the model's 14.36M plan compiled to a 17.11M
+    Mosaic stack allocation — a 1.19x overhead (alignment padding +
+    compiler temporaries) against the 16M scoped-vmem limit. 12.8M
+    keeps the modeled plan's real footprint under the limit with
+    margin (12.8 * 1.19 = 15.2M)."""
     bits, m = choose_chunking(K)
     del bits
     if const_side == "right":
@@ -319,7 +326,7 @@ def _plan_tiles(M, K, N, const_side, budget=15_500_000):
     return None
 
 
-def dfc_fits_vmem(M, K, N, const_side, budget=15_500_000):
+def dfc_fits_vmem(M, K, N, const_side, budget=12_800_000):
     """Whether any tiling of one :func:`dfc_matmul` call fits the
     calibrated VMEM budget."""
     return _plan_tiles(M, K, N, const_side, budget) is not None

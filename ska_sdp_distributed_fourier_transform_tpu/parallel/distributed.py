@@ -253,12 +253,41 @@ class ShardedSwiftly:
         if fft_impl not in ("xla", "mxu"):
             raise ValueError(f"Unknown fft_impl: {fft_impl}")
         self.fft_impl = fft_impl
+        # Stream the per-subgrid window extraction through the fused
+        # contribution kernel instead of materialising the
+        # [B, F, c, c] window array in HBM (pallas engine mode only;
+        # bitwise-equal output to the materialised path). Measured on
+        # v5e (BENCH_SWEEP_r03.jsonl, 2026-08-18): +8.9% at 16k,
+        # +5% at 8k, +7% at 4k — default ON at yN >= 2048; at the toy
+        # 2k size (yN=1024) the combined gather_fused+fused_fft=both
+        # stream measured slower (439 vs 540 sg/s), so small configs
+        # keep the materialised path. None defers to
+        # SWIFTLY_GATHER_FUSED, then the size gate.
+        if gather_fused is None:
+            env_gf = os.environ.get("SWIFTLY_GATHER_FUSED")
+            if env_gf is not None:
+                gather_fused = env_gf == "1"
+            else:
+                gather_fused = (
+                    engine_mode == "pallas" and core.yN_size >= 2048
+                )
+        self.gather_fused = bool(gather_fused)
         # Which side(s) of the stream use the fused four-step transform
-        # kernel (ops/pallas_fft.py): "fwd" (default — measured best,
-        # see _build_programs), "bwd", "both", or "off". None defers to
-        # the SWIFTLY_FUSED_FFT env knob.
+        # kernel (ops/pallas_fft.py): "fwd", "bwd", "both", or "off".
+        # Measured at 16k on v5e: with the gather-fused contraction,
+        # "both" is the best mode (1234.9 sg/s @ RMSE 1.10e-7 vs
+        # "fwd" 1194.8 @ 1.40e-7 — the round-2 both-sides regression to
+        # 806 was VMEM pressure from the materialised window array,
+        # which gather_fused removes); without it, "fwd" stays best.
+        # Default gated accordingly. None defers to SWIFTLY_FUSED_FFT.
         if fused_fft is None:
-            fused_fft = os.environ.get("SWIFTLY_FUSED_FFT", "fwd")
+            fused_fft = os.environ.get("SWIFTLY_FUSED_FFT")
+        if fused_fft is None:
+            fused_fft = (
+                "both"
+                if self.gather_fused and core.yN_size >= 4096
+                else "fwd"
+            )
         if fused_fft not in ("off", "fwd", "bwd", "both"):
             raise ValueError(f"Unknown fused_fft: {fused_fft}")
         self.fused_fft = fused_fft
@@ -268,16 +297,6 @@ class ShardedSwiftly:
         if scan_unroll is None:
             scan_unroll = int(os.environ.get("SWIFTLY_SCAN_UNROLL", "1"))
         self.scan_unroll = int(scan_unroll)
-        # Stream the per-subgrid window extraction through the fused
-        # contribution kernel (ops/pallas_kernels.fused_gather_sandwich)
-        # instead of materialising the [B, F, c, c] window array in HBM
-        # (pallas engine mode only). None defers to the
-        # SWIFTLY_GATHER_FUSED env knob; default off until measured
-        # on hardware.
-        if gather_fused is None:
-            gather_fused = os.environ.get(
-                "SWIFTLY_GATHER_FUSED", "0") == "1"
-        self.gather_fused = bool(gather_fused)
         self.core = core
         self.mesh = mesh if mesh is not None else make_tile_mesh()
         self.n_devices = self.mesh.devices.size
@@ -450,11 +469,12 @@ class ShardedSwiftly:
         ][: self.yB_size].astype(np.float32)
 
         # Fused four-step transform kernel (ops/pallas_fft.py).
-        # fused_fft=fwd|bwd|both|off. Measured at 16k on v5e:
-        # fwd-only 1101 sg/s @ RMSE 1.40e-7 (default — beats the XLA
-        # factor-matmul path 1070 @ 3.4e-7 on both axes), bwd-only
-        # neutral, both together regress to 806 (VMEM pressure in the
-        # combined module). Host-f64 phases are the accuracy win.
+        # fused_fft=fwd|bwd|both|off. Measured at 16k on v5e
+        # (BENCH_SWEEP_r03.jsonl): with the gather-fused contraction,
+        # "both" 1234.9 sg/s @ RMSE 1.10e-7 (the default at
+        # yN >= 4096); without it "fwd" 1101 @ 1.40e-7 beats "both"
+        # 806 (VMEM pressure from the materialised window array).
+        # Host-f64 phases are the accuracy win.
         _fmode = self.fused_fft
         use_pallas_fft = (use_pallas_fwd and fft_impl == "mxu"
                           and _fmode in ("both", "fwd"))

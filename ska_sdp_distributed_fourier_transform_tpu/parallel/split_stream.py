@@ -152,16 +152,19 @@ class SplitSwiftly:
         #: fused chunk+dot+combine Pallas kernel
         #: (:mod:`..ops.pallas_split`) — same accuracy class, a
         #: fraction of the runtime of the XLA formulation ("xla").
-        #: ``None`` selects "xla" (override with SWIFTLY_SPLIT_KERNEL).
+        #: ``None`` auto-selects "pallas" on TPU (override with
+        #: SWIFTLY_SPLIT_KERNEL).
         explicit_kernel = kernel is not None
         if kernel is None:
-            # auto: the XLA formulation. The fused Pallas kernel
-            # (ops/pallas_split.py) is interpret-verified but has not
-            # yet had a green compiled run on real silicon — a Mosaic
-            # fault wedges the far-end TPU for ~20 min, so it stays
-            # opt-in (kernel="pallas" or SWIFTLY_SPLIT_KERNEL=pallas)
-            # until its first on-chip measurement lands in BENCH_SWEEP.
-            kernel = os.environ.get("SWIFTLY_SPLIT_KERNEL", "xla")
+            # auto: the fused Pallas kernel on real TPU hardware —
+            # measured green on chip 2026-08-18 (BENCH_SWEEP_r03.jsonl:
+            # 4k 195.9 sg/s @ 5.46e-11, 8k 164.0 @ 1.90e-11 — 2.6x the
+            # XLA formulation at identical accuracy class); the XLA
+            # formulation elsewhere (CPU, or non-default truncation).
+            kernel = os.environ.get(
+                "SWIFTLY_SPLIT_KERNEL",
+                "pallas" if _is_tpu() else "xla",
+            )
             if kernel == "pallas" and not (
                     _is_tpu() and (keep, n_chunks) == (5, 6)):
                 kernel = "xla"

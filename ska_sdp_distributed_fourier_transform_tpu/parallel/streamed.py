@@ -547,7 +547,15 @@ class StreamedSwiftly:
                               dtype=core.dtype)
         NMBF_BF = self._column_prepare(rows_in, foff1)
 
-        NAF_MNAF = jnp.zeros((self.F, c, yN), dtype=core.dtype)
+        # built inside a compiled program: eager complex-constant
+        # creation implies a host transfer, which the axon TPU
+        # attachment lacks (same workaround as
+        # ShardedSwiftly.zero_accumulator)
+        if not hasattr(self, "_col_zeros_fn"):
+            self._col_zeros_fn = jax.jit(
+                lambda: jnp.zeros((self.F, c, yN), dtype=core.dtype)
+            )
+        NAF_MNAF = self._col_zeros_fn()
         collected = [] if collect_subgrids else None
         for lo in range(0, B, self.batch_chunk):
             hi = min(lo + self.batch_chunk, B)
