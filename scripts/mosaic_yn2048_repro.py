@@ -39,7 +39,8 @@ sys.path.insert(
 )
 
 
-def engine_bisect(engine_mode, fused_fft, acc_mode, columns):
+def engine_bisect(engine_mode, fused_fft, acc_mode, columns,
+                  gather_fused=False):
     """Run the REAL 4k[1]-n2k-512 fused stream with the yN=2048 mxu
     demotion bypassed (SWIFTLY_FORCE_MXU_YN2048=1) and the given engine
     feature toggles. The full default engine is known to kernel-fault;
@@ -83,6 +84,9 @@ def engine_bisect(engine_mode, fused_fft, acc_mode, columns):
         config._core, fcs, sgs, make_tile_mesh(),
         engine_mode=engine_mode, fused_fft=fused_fft,
         acc_mode=acc_mode, fft_impl="mxu",
+        # pinned (round 3 made it a size-gated default) so each rung
+        # varies exactly one feature against the round-2 baseline
+        gather_fused=gather_fused,
     )
     assert eng.fft_impl == "mxu", "demotion bypass did not take"
     if columns:
@@ -102,7 +106,8 @@ def engine_bisect(engine_mode, fused_fft, acc_mode, columns):
         out, n = eng.roundtrip(eng.pack_facets(facets))
         jax.block_until_ready(out)
     print(f"CLEAN: engine_mode={engine_mode} fused_fft={fused_fft} "
-          f"acc_mode={acc_mode} columns={columns or 'full'} "
+          f"acc_mode={acc_mode} gather_fused={gather_fused} "
+          f"columns={columns or 'full'} "
           "ran without a kernel fault at yN=2048/mxu")
 
 
@@ -153,9 +158,13 @@ if __name__ == "__main__":
     ap.add_argument("--columns", type=int, default=0,
                     help=">0: bounded per-column driving instead of "
                     "the fused stream")
+    ap.add_argument("--gather_fused", action="store_true",
+                    help="enable the gather-fused contraction kernel "
+                    "(pinned OFF otherwise regardless of the engine "
+                    "default)")
     args = ap.parse_args()
     if args.engine:
         engine_bisect(args.engine_mode, args.fused_fft, args.acc_mode,
-                      args.columns)
+                      args.columns, args.gather_fused)
     else:
         main()
