@@ -164,7 +164,11 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def port_open(host="127.0.0.1", port=8082, timeout=3.0):
+def port_open(host="127.0.0.1", port=None, timeout=3.0):
+    if port is None:
+        # SWIFTLY_RELAY_PORT lets tests point the probe at a dead port
+        # so the queue never touches the real chip from a test run
+        port = int(os.environ.get("SWIFTLY_RELAY_PORT", "8082"))
     try:
         with socket.create_connection((host, port), timeout=timeout):
             return True

@@ -9,8 +9,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_script(name, *args, timeout=420):
-    env = dict(os.environ)
+def run_script(name, *args, timeout=420, env=None):
+    env = dict(os.environ, **(env or {}))
     env.pop("JAX_PLATFORMS", None)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", name), *args],
@@ -137,10 +137,12 @@ def test_hosttier_64k_runner_smoke(tmp_path):
 
 def test_bench_backlog_no_wait_exits_cleanly():
     """With the tunnel down and --no_wait, the measurement queue must
-    exit 2 without touching the chip or writing records."""
-    res = run_script("bench_backlog.py", "--no_wait", timeout=60)
-    if res.returncode == 0:
-        pytest.skip("tunnel is up; the queue would actually run")
+    exit 2 without touching the chip or writing records. The probe is
+    pointed at a dead port (SWIFTLY_RELAY_PORT) so this holds even on
+    a host whose real tunnel is up — the queue must never run actual
+    chip benches from inside a test."""
+    res = run_script("bench_backlog.py", "--no_wait", timeout=60,
+                     env={"SWIFTLY_RELAY_PORT": "1"})
     assert res.returncode == 2, res.stdout + res.stderr
 
 
