@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--engine_mode", default="pallas",
                     choices=["pallas", "matmul"])
     ap.add_argument("--fft_impl", default="mxu", choices=["mxu", "xla"])
+    ap.add_argument("--pipeline", default="r3", choices=["r2", "r3"],
+                    help="r2: round-2 default engine stages (unfused "
+                    "prepare, materialised per-subgrid extraction); "
+                    "r3: round-3 defaults (fused_prepare_rows + "
+                    "gather-fused contraction + fused finish rows)")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
@@ -242,6 +247,137 @@ def main():
 
         return body
 
+    # Round-3 default pipeline: fused_prepare_rows (window+pad+four-step
+    # +phase in one kernel), gather-fused contraction (per-subgrid
+    # window extraction streamed inside the sandwich), fused finish rows
+    # on the backward side — mirrors fwd_column_local_mm/_bwd_nafb_mm in
+    # parallel/distributed.py under the wave-4 defaults.
+    from ska_sdp_distributed_fourier_transform_tpu.ops.core import (
+        _scale_off,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        fused_finish_rows,
+        fused_prepare_rows,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_kernels \
+        import (
+            fused_double_sandwich,
+            fused_gather_sandwich,
+            fused_lr_sandwich,
+        )
+
+    import numpy as _np
+
+    fb_yB = _np.asarray(core._Fb, dtype=_np.float64)[
+        (yN - 1) // 2 - yB // 2:
+    ][:yB].astype(_np.float32)
+    ph1 = engine._dev_c("ph1", engine._ph1)
+
+    def stage_body_r3(k, env):
+        BF_F = env["BF_F"]
+        A0, A1, Fi, Fm = env["A0"], env["A1"], env["Fi"], env["Fm"]
+        E0, E1 = env["E0"], env["E1"]
+        foff1, fmask1 = env["foff1"], env["fmask1"]
+        ph1 = env["ph1"]
+
+        def body(carry, col):
+            off0, sg_off1, valid, mask0, mask1 = col
+            out = None
+
+            # S1: column prepare — extract rows + fused transform kernel
+            rows = jax.vmap(
+                lambda bf: extract_from_facet_fn(bf, off0, 0, N, yN, c)
+            )(BF_F)  # [F, c, yB]
+            NMBF_BF = fused_prepare_rows(rows, fb_yB, ph1, yN).astype(
+                core.dtype
+            )
+            out = NMBF_BF
+            if k >= 2:
+                # S2: gather-fused contribution sandwich (extraction +
+                # facet-summed contraction in one kernel)
+                partial = fused_gather_sandwich(
+                    A0, NMBF_BF, _scale_off(sg_off1, N // yN), A1
+                ).astype(core.dtype)  # [B, xM, xM]
+                out = partial
+            if k >= 3:
+                # S3: finish sandwich + masks -> subgrids
+                base = (xM // 2 - xA // 2
+                        + jnp.arange(xA, dtype=jnp.int32))
+                G0 = jnp.take(Fi, (base + off0) % xM, axis=0)
+                G1 = jax.vmap(
+                    lambda o: jnp.take(Fi, (base + o) % xM, axis=0)
+                )(sg_off1)
+                sg = fused_lr_sandwich(G0, partial, G1).astype(
+                    core.dtype
+                )
+                sg = sg * mask0[jnp.newaxis, :, jnp.newaxis]
+                sg = sg * mask1[:, jnp.newaxis, :]
+                out = sg
+            if k >= 4:
+                # S4: backward prepare sandwich -> FS
+                P0 = jnp.take(Fm, (base + off0) % xM, axis=1)
+                P1 = jax.vmap(
+                    lambda o: jnp.take(Fm, (base + o) % xM, axis=1)
+                )(sg_off1)
+                FS = fused_lr_sandwich(P0, sg, P1).astype(core.dtype)
+                out = FS
+            if k >= 5:
+                # S5: backward extraction sandwich [B, F, c, c]
+                NAF = fused_double_sandwich(E0, FS, E1).astype(
+                    core.dtype
+                )
+                out = NAF
+            if k >= 6:
+                # S6: column fold scatter -> NAF_MNAF [F, c, yN]
+                s = jnp.floor_divide(
+                    sg_off1.astype(jnp.int32), N // yN
+                )
+                kk = jnp.arange(c, dtype=jnp.int32)
+                idx = (
+                    yN // 2 - c // 2
+                    + jnp.mod(kk[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                    + s[:, jnp.newaxis]
+                ) % yN
+                B = NAF.shape[0]
+                xr = NAF.transpose(1, 2, 0, 3).reshape(-1, c, B * c)
+                NAF_MNAF = jnp.zeros((F_pad, c, yN), dtype=core.dtype)
+                NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+                out = NAF_MNAF
+            if k >= 7:
+                # S7: fused finish rows (four-step fwd DFT + wrap gather
+                # + Fb window + mask)
+                rows_o = fused_finish_rows(
+                    NAF_MNAF, fb_yB, foff1, fmask1, yB
+                ).astype(core.dtype)
+                out = rows_o
+            if k >= 8:
+                # S8: padded-DUS accumulator pair fold (carried)
+                u = jnp.stack(
+                    [jnp.real(rows_o), jnp.imag(rows_o)]
+                ).astype(jnp.float32)
+                s0 = jnp.floor_divide(off0.astype(jnp.int32), N // yN)
+                u = jnp.roll(u, -s0, axis=2)
+                start = (yN // 2 - c // 2 + s0) % yN
+                zero = jnp.zeros((), jnp.int32)
+                acc = carry[1]
+                blk = jax.lax.dynamic_slice(
+                    acc, (zero, zero, start, zero),
+                    (2, acc.shape[1], c, acc.shape[3]),
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc, blk + u, (zero, zero, start, zero)
+                )
+                red = jnp.sum(jnp.abs(jnp.real(out))) + carry[0]
+                return (red, acc), None
+
+            if isinstance(carry, tuple):
+                red = jnp.sum(jnp.abs(jnp.real(out))) + carry[0]
+                return (red, carry[1]), None
+            red = jnp.sum(jnp.abs(jnp.real(out))) + carry
+            return red, None
+
+        return body
+
     results = {}
     prev = 0.0
     stage_names = {
@@ -254,6 +390,19 @@ def main():
         7: "S7 fold scatter + axis-1 finish",
         8: "S8 accumulator DUS fold (carried)",
     }
+    stage_names_r3 = {
+        1: "S1 column-prepare (extract rows + fused transform)",
+        2: "S2 gather-fused contribution sandwich",
+        3: "S3 finish sandwich + masks",
+        4: "S4 backward prepare sandwich",
+        5: "S5 backward extraction sandwich",
+        6: "S6 column fold scatter",
+        7: "S7 fused finish rows",
+        8: "S8 accumulator DUS fold (carried)",
+    }
+    if args.pipeline == "r3":
+        stage_names = stage_names_r3
+        stage_body = stage_body_r3
     C = engine.plan.n_columns
 
     # Big device arrays must be jit ARGUMENTS, not closure captures —
@@ -262,10 +411,10 @@ def main():
     def make_prog(k):
         @jax.jit
         def prog(BF_F_, A0_, A1_, Fi_, Fm_, E0_, E1_, foff1_, fmask1_,
-                 cols_):
+                 ph1_, cols_):
             nonlocal_env = dict(
                 BF_F=BF_F_, A0=A0_, A1=A1_, Fi=Fi_, Fm=Fm_, E0=E0_,
-                E1=E1_, foff1=foff1_, fmask1=fmask1_,
+                E1=E1_, foff1=foff1_, fmask1=fmask1_, ph1=ph1_,
             )
             body = stage_body(k, nonlocal_env)
             if k >= 8:
@@ -280,7 +429,7 @@ def main():
             )[0]
 
         return lambda: prog(BF_F, A0, A1, Fi, Fm, E0, E1, foff1,
-                            fmask1, cols)
+                            fmask1, ph1, cols)
 
     for k in range(1, 9):
         prog = make_prog(k)
