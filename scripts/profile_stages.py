@@ -114,7 +114,7 @@ def main():
         foff1, fmask1 = env["foff1"], env["fmask1"]
 
         def body(carry, col):
-            off0, sg_off1, valid, mask0, mask1 = col
+            off0, sg_off1, valid, mask0, mask1 = col[:5]
             out = None
 
             # S1: column prepare (extract rows + axis-1 facet transform)
@@ -281,7 +281,7 @@ def main():
         ph1 = env["ph1"]
 
         def body(carry, col):
-            off0, sg_off1, valid, mask0, mask1 = col
+            off0, sg_off1, valid, mask0, mask1 = col[:5]
             out = None
 
             # S1: column prepare — extract rows + fused transform kernel

@@ -205,7 +205,7 @@ class ShardedSwiftly:
                  mesh=None, engine_mode="matmul", precision="high",
                  process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
-                 gather_fused=None, acc_mode=None):
+                 gather_fused=None, acc_mode=None, fold_mode=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -246,6 +246,24 @@ class ShardedSwiftly:
         if acc_mode not in ("carry", "ys"):
             raise ValueError(f"Unknown acc_mode: {acc_mode}")
         self.acc_mode = acc_mode
+        # Column-fold formulation (operator modes): how each column's
+        # [B, Floc, c, c] contributions become the [Floc, c, yN] column
+        # accumulator.
+        #   "scatter" (default): one scatter-add at the wrap-window
+        #     indices — duplicate indices (adjacent windows overlap),
+        #     which TPU lowers to a serialised scatter.
+        #   "gather": the inverse map is precomputed on the host (every
+        #     output row has <= K source windows, K = max coverage — 2
+        #     for all catalogue covers) and the fold becomes K
+        #     duplicate-free gathers + adds along the minor axis.
+        #   "gatherm": same, gathering whole [Floc, c] rows along the
+        #     major axis then transposing.
+        # None defers to the SWIFTLY_FOLD env knob.
+        if fold_mode is None:
+            fold_mode = os.environ.get("SWIFTLY_FOLD", "scatter")
+        if fold_mode not in ("scatter", "gather", "gatherm"):
+            raise ValueError(f"Unknown fold_mode: {fold_mode}")
+        self.fold_mode = fold_mode
         # yN-scale facet transforms: "mxu" (default) uses the four-step
         # factor-matmul FFT (ops.fft_mxu) — +23% end-to-end on v5e by
         # sidestepping the layout copies XLA inserts around FFTs;
@@ -414,7 +432,55 @@ class ShardedSwiftly:
             jnp.asarray(plan.valid[ci], rd),
             jnp.asarray(plan.mask0[ci], rd),
             jnp.asarray(plan.mask1[ci], rd),
+            jnp.asarray(self._fold_sources()[ci], jnp.int32),
         )
+
+    def _fold_sources(self):
+        """Host-precomputed inverse of the column-fold scatter.
+
+        For each column: ``[K, yN]`` int32 — the flat ``b * c + j``
+        source element feeding output row ``y`` per coverage slot
+        (K = max rows covering any output; 2 for every catalogue
+        cover). Rows with fewer sources point at the trash index
+        ``B * c`` (an appended zero), and invalid (padding) windows are
+        excluded outright — their values are exact zeros anyway. Lets
+        the fold run as K duplicate-free gathers instead of a
+        duplicate-index scatter-add (the reference's accumulate_column
+        semantics, api_helper.py:142-152, unchanged).
+        """
+        if getattr(self, "_fold_sources_cache", None) is not None:
+            return self._fold_sources_cache
+        plan, core = self.plan, self.core
+        yN, c, N = core.yN_size, core.xM_yN_size, core.N
+        C, B = plan.sg_off1.shape
+        trash = B * c
+        k = np.arange(c)
+        # pass 1: max coverage over all columns
+        K = 1
+        counts = []
+        idxs = []
+        for ci in range(C):
+            cnt = np.zeros(yN, dtype=np.int32)
+            rows = {}
+            for b in range(B):
+                if plan.valid[ci, b] == 0:
+                    continue
+                s1 = int(plan.sg_off1[ci, b]) // (N // yN)
+                idx = (yN // 2 - c // 2 + (k - s1) % c + s1) % yN
+                rows[b] = idx
+                cnt[idx] += 1
+            counts.append(cnt)
+            idxs.append(rows)
+            K = max(K, int(cnt.max(initial=1)))
+        out = np.full((C, K, yN), trash, dtype=np.int32)
+        for ci in range(C):
+            cnt = np.zeros(yN, dtype=np.int32)
+            for b, idx in idxs[ci].items():
+                slot = cnt[idx]
+                out[ci, slot, idx] = b * c + k
+                cnt[idx] += 1
+        self._fold_sources_cache = out
+        return out
 
     # -------------------------------------------------------- the programs
 
@@ -616,8 +682,10 @@ class ShardedSwiftly:
                 sg = self.process_subgrid(sg, off0, my_off1)
             return sg
 
+        fold_mode = self.fold_mode
+
         def _bwd_nafb_mm(sg, E0, E1, F_xM, foff1, fmask1, off0,
-                         sg_off1, valid):
+                         sg_off1, valid, fsrc):
             # Matmul formulation of prepare_subgrid (column/row gathers of
             # the DFT matrix) and extract_from_subgrid (precomputed
             # per-facet operators); returns the column's finished facet
@@ -657,17 +725,36 @@ class ShardedSwiftly:
                 NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
             )  # [B, Floc, c, c]
 
-            s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
-            k = jnp.arange(c, dtype=jnp.int32)
-            idx = (
-                yN // 2 - c // 2
-                + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
-                + s[:, jnp.newaxis]
-            ) % yN  # [B, c]
             B = x.shape[0]
-            xr = x.transpose(1, 2, 0, 3).reshape(-1, c, B * c)
-            NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
-            NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
+            Floc = x.shape[1]
+            if fold_mode == "gather":
+                # duplicate-free inverse map: K gathers along the minor
+                # axis (no scatter)
+                xr = x.transpose(1, 2, 0, 3).reshape(Floc, c, B * c)
+                xr = jnp.pad(xr, ((0, 0), (0, 0), (0, 1)))
+                NAF_MNAF = jnp.take(xr, fsrc[0], axis=2)
+                for ks in range(1, fsrc.shape[0]):
+                    NAF_MNAF = NAF_MNAF + jnp.take(xr, fsrc[ks], axis=2)
+            elif fold_mode == "gatherm":
+                # same map, gathering whole [Floc, c] rows along the
+                # major axis then transposing back
+                xr = x.transpose(0, 3, 1, 2).reshape(B * c, Floc, c)
+                xr = jnp.pad(xr, ((0, 1), (0, 0), (0, 0)))
+                g = jnp.take(xr, fsrc[0], axis=0)
+                for ks in range(1, fsrc.shape[0]):
+                    g = g + jnp.take(xr, fsrc[ks], axis=0)
+                NAF_MNAF = jnp.transpose(g, (1, 2, 0))
+            else:
+                s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
+                k = jnp.arange(c, dtype=jnp.int32)
+                idx = (
+                    yN // 2 - c // 2
+                    + jnp.mod(k[jnp.newaxis, :] - s[:, jnp.newaxis], c)
+                    + s[:, jnp.newaxis]
+                ) % yN  # [B, c]
+                xr = x.transpose(1, 2, 0, 3).reshape(-1, c, B * c)
+                NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
+                NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
 
             if use_pallas_fft_bwd:
                 from ..ops.pallas_fft import fused_finish_rows
@@ -697,9 +784,10 @@ class ShardedSwiftly:
             return NAF_BMNAF, rows, s0
 
         def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
-                                fmask1, off0, sg_off1, valid):
+                                fmask1, off0, sg_off1, valid, fsrc):
             NAF_BMNAF, rows, _ = _bwd_nafb_mm(
-                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
+                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid,
+                fsrc,
             )
             return MNAF_BMNAF.at[:, rows, :].add(
                 NAF_BMNAF, unique_indices=True, mode="promise_in_bounds"
@@ -730,9 +818,10 @@ class ShardedSwiftly:
             )
 
         def bwd_column_pair_mm(sg, acc_pair, E0, E1, F_xM, foff1, fmask1,
-                               off0, sg_off1, valid):
+                               off0, sg_off1, valid, fsrc):
             NAF_BMNAF, _, s0 = _bwd_nafb_mm(
-                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid
+                sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid,
+                fsrc,
             )
             return _pair_fold(acc_pair, NAF_BMNAF, s0)
 
@@ -860,7 +949,7 @@ class ShardedSwiftly:
             self._bwd_column = jax.jit(
                 shmap(
                     bwd_column_local_mm,
-                    in_specs=(t, t, r, r, r, r, r, r, r, r),
+                    in_specs=(t, t, r, r, r, r, r, r, r, r, r),
                     out_specs=t,
                 ),
                 donate_argnums=(1,),
@@ -940,14 +1029,14 @@ class ShardedSwiftly:
                     # static-index scatter-add builds the padded pair
                     # accumulator after the scan.
                     def body_ys(_, col):
-                        off0, sg_off1, valid, mask0, mask1 = col
+                        off0, sg_off1, valid, mask0, mask1 = col[:5]
                         sg = fwd_column_local_mm(
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
                         )
                         NAF_BMNAF, _, _ = _bwd_nafb_mm(
                             sg, E0, E1, F_xM, foff1_r, fmask1_r,
-                            off0, sg_off1, valid,
+                            off0, sg_off1, valid, col[5],
                         )
                         u = jnp.stack(
                             [jnp.real(NAF_BMNAF), jnp.imag(NAF_BMNAF)]
@@ -978,14 +1067,14 @@ class ShardedSwiftly:
 
                 def body(acc, col):
                     if k == 1:
-                        off0, sg_off1, valid, mask0, mask1 = col
+                        off0, sg_off1, valid, mask0, mask1 = col[:5]
                         sg = fwd_column_local_mm(
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
                         )
                         acc = bwd_column_pair_mm(
                             sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
-                            off0, sg_off1, valid,
+                            off0, sg_off1, valid, col[5],
                         )
                         return acc, None
                     # k columns per step: the forward passes are
@@ -1000,11 +1089,12 @@ class ShardedSwiftly:
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
                         )
-                    )(*col)
+                    )(*col[:5])
                     for i in range(k):
                         acc = bwd_column_pair_mm(
                             sgs[i], acc, E0, E1, F_xM, foff1_r,
                             fmask1_r, col[0][i], col[1][i], col[2][i],
+                            col[5][i],
                         )
                     return acc, None
 
@@ -1023,7 +1113,7 @@ class ShardedSwiftly:
                 BF_F = prepare_local(facets, foff0)
 
                 def body(_, col):
-                    off0, sg_off1, valid, mask0, mask1 = col
+                    off0, sg_off1, valid, mask0, mask1 = col[:5]
                     sg = fwd_column_local_mm(
                         BF_F, A0, A1, Fi_xM, foff1, ph1, off0, sg_off1,
                         valid, mask0, mask1,
@@ -1043,10 +1133,10 @@ class ShardedSwiftly:
 
                 def body(acc, col_and_sg):
                     col, sg = col_and_sg
-                    off0, sg_off1, valid, _, _ = col
+                    off0, sg_off1, valid = col[:3]
                     acc = bwd_column_pair_mm(
                         sg, acc, E0, E1, F_xM, foff1_r, fmask1_r, off0,
-                        sg_off1, valid,
+                        sg_off1, valid, col[5],
                     )
                     return acc, None
 
@@ -1062,21 +1152,21 @@ class ShardedSwiftly:
                 # checkpoint granularity so a preempted run resumes from
                 # the last saved segment.
                 def body(acc, col):
-                    off0, sg_off1, valid, mask0, mask1 = col
+                    off0, sg_off1, valid, mask0, mask1 = col[:5]
                     sg = fwd_column_local_mm(
                         BF_F, A0, A1, Fi_xM, foff1, ph1, off0, sg_off1,
                         valid, mask0, mask1,
                     )
                     acc = bwd_column_pair_mm(
                         sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
-                        off0, sg_off1, valid,
+                        off0, sg_off1, valid, col[5],
                     )
                     return acc, None
 
                 acc, _ = jax.lax.scan(body, acc_pair, cols)
                 return acc
 
-            col_spec = (r, r, r, r, r)
+            col_spec = (r, r, r, r, r, r)
             self._stream = jax.jit(
                 shmap(
                     stream_local,
@@ -1121,7 +1211,7 @@ class ShardedSwiftly:
                 )
 
                 def body(acc, col):
-                    off0, sg_off1, valid, mask0, mask1 = col
+                    off0, sg_off1, valid, mask0, mask1 = col[:5]
                     sg = fwd_column_local(
                         BF_F, foff0, foff1, off0, sg_off1, valid, mask0,
                         mask1,
@@ -1135,7 +1225,7 @@ class ShardedSwiftly:
                 accum, _ = jax.lax.scan(body, accum0, cols)
                 return accum
 
-            col_spec = (r, r, r, r, r)
+            col_spec = (r, r, r, r, r, r)
             self._stream = jax.jit(
                 shmap(
                     stream_local,
@@ -1182,7 +1272,9 @@ class ShardedSwiftly:
         return self._zeros_fn()
 
     def _forward_args(self, BF_F, col_index):
-        off0, sg_off1, valid, mask0, mask1 = self._col_args(col_index)
+        off0, sg_off1, valid, mask0, mask1 = self._col_args(
+            col_index
+        )[:5]
         if self._operator_mode:
             return (
                 BF_F,
@@ -1206,7 +1298,8 @@ class ShardedSwiftly:
         return self._fwd_column(*self._forward_args(BF_F, col_index))
 
     def _backward_args(self, sg_batch, col_index, MNAF_BMNAF):
-        off0, sg_off1, valid, _, _ = self._col_args(col_index)
+        ca = self._col_args(col_index)
+        off0, sg_off1, valid = ca[:3]
         if self._operator_mode:
             return (
                 sg_batch,
@@ -1216,7 +1309,7 @@ class ShardedSwiftly:
                 self._dev_c("F", self._F_xM, repl=True),
                 self._dev(self._foff1, repl=True),
                 self._dev(self._fmask1, repl=True),
-                off0, sg_off1, valid,
+                off0, sg_off1, valid, ca[5],
             )
         return (
             sg_batch,
@@ -1286,6 +1379,7 @@ class ShardedSwiftly:
             np.asarray(plan.valid, rd),
             np.asarray(plan.mask0, rd),
             np.asarray(plan.mask1, rd),
+            np.asarray(self._fold_sources(), np.int32),
         ]
         if group > 1:
             C = len(plan.off0)

@@ -280,3 +280,32 @@ def test_acc_mode_ys_matches_carry():
             np.asarray(b[fi, : cfg.size, : cfg.size]), SOURCES,
         )
         assert err < 1e-6  # c64 working precision
+
+
+def test_fold_mode_gather_matches_scatter():
+    """The gather-formulated column fold (host-precomputed inverse map,
+    K duplicate-free gathers) reproduces the scatter fold bit-for-bit on
+    a 4-device mesh — same values, same addition order per output row
+    (sources are visited in ascending b both ways)."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+    outs = {}
+    for mode in ("scatter", "gather", "gatherm"):
+        eng = ShardedSwiftly(config._core, fcs, sgs, mesh,
+                             fold_mode=mode)
+        assert eng.fold_mode == mode
+        outs[mode], n = eng.roundtrip(eng.pack_facets(facets))
+        assert n == len(sgs)
+    a = np.asarray(outs["scatter"])
+    for mode in ("gather", "gatherm"):
+        b = np.asarray(outs[mode])
+        np.testing.assert_allclose(b, a, atol=1e-7)
+        for fi, cfg in enumerate(fcs):
+            err = check_facet(
+                config.image_size, cfg,
+                np.asarray(b[fi, : cfg.size, : cfg.size]), SOURCES,
+            )
+            assert err < 1e-6
