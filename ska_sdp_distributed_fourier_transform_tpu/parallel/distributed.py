@@ -205,7 +205,8 @@ class ShardedSwiftly:
                  mesh=None, engine_mode="matmul", precision="high",
                  process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
-                 gather_fused=None, acc_mode=None, fold_mode=None):
+                 gather_fused=None, acc_mode=None, fold_mode=None,
+                 prep_mode=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -264,6 +265,28 @@ class ShardedSwiftly:
         if fold_mode not in ("scatter", "gather", "gatherm"):
             raise ValueError(f"Unknown fold_mode: {fold_mode}")
         self.fold_mode = fold_mode
+        # Forward column-prepare strategy for the fused stream:
+        #   "col" (default): each column extracts its c wrap-window rows
+        #     from BF_F and transforms them (extract + axis-1 prepare
+        #     inside the scan — the reference's extract_column,
+        #     api_helper.py:200-210).
+        #   "full": transform ALL yN rows once before the scan
+        #     ([Floc, yN, yN], e.g. 4.8 GiB at 16k — device-resident
+        #     configs only) so the per-column step is a pure row gather.
+        #     The axis-0 extraction and axis-1 transform commute exactly;
+        #     XLA compiles the one-shot batched transform differently
+        #     from the in-scan one, so results match at c64 rounding
+        #     (same oracle RMSE), not bitwise. ~14% fewer row transforms
+        #     total (columns re-transform overlapping windows) and the
+        #     transform leaves the scan's serial chain. Fused-stream
+        #     only; the per-column programs and checkpoint segments
+        #     keep "col".
+        # None defers to the SWIFTLY_PREP env knob.
+        if prep_mode is None:
+            prep_mode = os.environ.get("SWIFTLY_PREP", "col")
+        if prep_mode not in ("col", "full"):
+            raise ValueError(f"Unknown prep_mode: {prep_mode}")
+        self.prep_mode = prep_mode
         # yN-scale facet transforms: "mxu" (default) uses the four-step
         # factor-matmul FFT (ops.fft_mxu) — +23% end-to-end on v5e by
         # sidestepping the layout copies XLA inserts around FFTs;
@@ -548,12 +571,20 @@ class ShardedSwiftly:
                               and _fmode in ("both", "bwd"))
 
         def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
-                                sg_off1, valid, mask0, mask1):
+                                sg_off1, valid, mask0, mask1,
+                                prepped=False):
             # Matmul formulation: the whole add_to_subgrid_2d + facet-sum
             # is one MXU einsum against precomputed per-facet operators;
             # finish_subgrid is a sandwich against offset-gathered rows of
             # the inverse-DFT matrix.
-            if use_pallas_fft:
+            if prepped:
+                # prep_mode="full": BF_F is already the fully prepared
+                # [Floc, yN, yN] — the column step is a pure row gather
+                NMBF_BF = jax.vmap(
+                    lambda bb: extract_from_facet_fn(bb, off0, 0, N, yN,
+                                                     c)
+                )(BF_F)  # [Floc, c, yN]
+            elif use_pallas_fft:
                 from ..ops.pallas_fft import fused_prepare_rows
 
                 rows = jax.vmap(
@@ -1017,11 +1048,26 @@ class ShardedSwiftly:
             ).reshape(-1).astype(np.int32)  # [C * c]
             use_ys = self.acc_mode == "ys" and self.columns_per_step == 1
 
+            prep_full = self.prep_mode == "full"
+
             def stream_local(facets, A0, A1, Fi_xM, F_xM, E0, E1, foff0,
                              foff1, ph1, foff1_r, fmask0, fmask1_r,
                              cols):
                 BF_F = prepare_local(facets, foff0)
                 Floc = facets.shape[0]
+                if prep_full:
+                    # transform every row once, before the scan
+                    if use_pallas_fft:
+                        from ..ops.pallas_fft import fused_prepare_rows
+
+                        BF_F = fused_prepare_rows(
+                            BF_F, fb_yB, ph1, yN
+                        ).astype(cdtype)  # [Floc, yN, yN]
+                    else:
+                        BF_F = jax.vmap(
+                            lambda bf, o1: prep_facet_scan(bf, o1, 1,
+                                                           Fb, yN)
+                        )(BF_F, foff1)
 
                 if use_ys:
                     # ys mode: no multi-GB carry — each column's
@@ -1033,6 +1079,7 @@ class ShardedSwiftly:
                         sg = fwd_column_local_mm(
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
+                            prepped=prep_full,
                         )
                         NAF_BMNAF, _, _ = _bwd_nafb_mm(
                             sg, E0, E1, F_xM, foff1_r, fmask1_r,
@@ -1071,6 +1118,7 @@ class ShardedSwiftly:
                         sg = fwd_column_local_mm(
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
+                            prepped=prep_full,
                         )
                         acc = bwd_column_pair_mm(
                             sg, acc, E0, E1, F_xM, foff1_r, fmask1_r,
@@ -1088,6 +1136,7 @@ class ShardedSwiftly:
                         fwd_column_local_mm(
                             BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                             sg_off1, valid, mask0, mask1,
+                            prepped=prep_full,
                         )
                     )(*col[:5])
                     for i in range(k):

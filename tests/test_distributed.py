@@ -309,3 +309,31 @@ def test_fold_mode_gather_matches_scatter():
                 np.asarray(b[fi, : cfg.size, : cfg.size]), SOURCES,
             )
             assert err < 1e-6
+
+
+def test_prep_mode_full_matches_col():
+    """prep_mode="full" (all yN rows transformed once before the scan;
+    per-column step is a pure row gather) reproduces the per-column
+    prepare at c64 rounding — the ops commute exactly, but XLA compiles
+    the one-shot batched transform differently — and must meet the same
+    oracle bound."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    srcs = [(1.0, 100, -50), (0.7, -200, 130)]
+    facets = [make_facet(config.image_size, c, srcs) for c in fcs]
+    errs = {}
+    for pm in ("col", "full"):
+        eng = ShardedSwiftly(config._core, fcs, sgs, make_tile_mesh(4),
+                             prep_mode=pm)
+        assert eng.prep_mode == pm
+        out, n = eng.roundtrip(eng.pack_facets(facets))
+        assert n == len(sgs)
+        out = np.asarray(out)
+        errs[pm] = max(
+            check_facet(config.image_size, cfg,
+                        out[fi, : cfg.size, : cfg.size], srcs)
+            for fi, cfg in enumerate(fcs)
+        )
+    assert errs["full"] < 2e-5  # c64 class for multi-pixel sources
+    assert errs["full"] < errs["col"] * 1.5
