@@ -206,7 +206,7 @@ class ShardedSwiftly:
                  process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
                  gather_fused=None, acc_mode=None, fold_mode=None,
-                 prep_mode=None):
+                 prep_mode=None, finish_mode=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -287,6 +287,29 @@ class ShardedSwiftly:
         if prep_mode not in ("col", "full"):
             raise ValueError(f"Unknown prep_mode: {prep_mode}")
         self.prep_mode = prep_mode
+        # Backward finish strategy for the fused stream (the dual of
+        # prep_mode):
+        #   "col" (default): each column's [Floc, c, yN] block is
+        #     finished along axis 1 (yN-scale transform + Fb + mask1)
+        #     inside the scan, and the finished [Floc, c, yB] rows fold
+        #     into the carry (the reference's accumulate_facet,
+        #     api_helper.py:155-179).
+        #   "post": the UNFINISHED blocks fold into a wider
+        #     [2, Floc, yN + c, yN] carry and the axis-1 finish runs
+        #     ONCE after the scan — finish is linear, so it commutes
+        #     with the column sum; results match at c64 rounding. The
+        #     per-column yN-scale transform leaves the scan's serial
+        #     chain (~14% fewer row transforms at 16k), at the cost of
+        #     a yN/yB-wider carry. Requires acc_mode="carry".
+        # None defers to the SWIFTLY_FINISH env knob.
+        if finish_mode is None:
+            finish_mode = os.environ.get("SWIFTLY_FINISH", "col")
+        if finish_mode not in ("col", "post"):
+            raise ValueError(f"Unknown finish_mode: {finish_mode}")
+        if finish_mode == "post" and acc_mode == "ys":
+            raise ValueError("finish_mode='post' requires acc_mode="
+                             "'carry'")
+        self.finish_mode = finish_mode
         # yN-scale facet transforms: "mxu" (default) uses the four-step
         # factor-matmul FFT (ops.fft_mxu) — +23% end-to-end on v5e by
         # sidestepping the layout copies XLA inserts around FFTs;
@@ -714,9 +737,12 @@ class ShardedSwiftly:
             return sg
 
         fold_mode = self.fold_mode
+        finish_post = self.finish_mode == "post"
+        # carry width: finished rows are yB wide; unfinished (post) yN
+        acc_w = yN if finish_post else yB
 
         def _bwd_nafb_mm(sg, E0, E1, F_xM, foff1, fmask1, off0,
-                         sg_off1, valid, fsrc):
+                         sg_off1, valid, fsrc, do_finish=True):
             # Matmul formulation of prepare_subgrid (column/row gathers of
             # the DFT matrix) and extract_from_subgrid (precomputed
             # per-facet operators); returns the column's finished facet
@@ -787,6 +813,21 @@ class ShardedSwiftly:
                 NAF_MNAF = jnp.zeros((x.shape[1], c, yN), dtype=cdtype)
                 NAF_MNAF = NAF_MNAF.at[:, :, idx.reshape(-1)].add(xr)
 
+            # add_to_facet axis=0, fused: the c (finished) rows scatter
+            # straight into the accumulator instead of padding each
+            # column's contribution to a full [Floc, yN, yB] temporary
+            # (the pad+add dominated the backward fold's HBM traffic).
+            s0 = jnp.floor_divide(off0.astype(jnp.int32), N // yN)
+            k0 = jnp.arange(c, dtype=jnp.int32)
+            rows = (
+                yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
+            ) % yN  # [c]
+
+            if not do_finish:
+                # finish_mode="post": fold the unfinished [Floc, c, yN]
+                # block; the axis-1 finish runs once after the scan
+                return NAF_MNAF, rows, s0
+
             if use_pallas_fft_bwd:
                 from ..ops.pallas_fft import fused_finish_rows
 
@@ -803,15 +844,6 @@ class ShardedSwiftly:
                     fmask1, d, NAF_MNAF.shape[0]
                 )[:, jnp.newaxis, :]
 
-            # add_to_facet axis=0, fused: the c finished rows scatter
-            # straight into the accumulator instead of padding each
-            # column's contribution to a full [Floc, yN, yB] temporary
-            # (the pad+add dominated the backward fold's HBM traffic).
-            s0 = jnp.floor_divide(off0.astype(jnp.int32), N // yN)
-            k0 = jnp.arange(c, dtype=jnp.int32)
-            rows = (
-                yN // 2 - c // 2 + jnp.mod(k0 - s0, c) + s0
-            ) % yN  # [c]
             return NAF_BMNAF, rows, s0
 
         def bwd_column_local_mm(sg, MNAF_BMNAF, E0, E1, F_xM, foff1,
@@ -852,7 +884,7 @@ class ShardedSwiftly:
                                off0, sg_off1, valid, fsrc):
             NAF_BMNAF, _, s0 = _bwd_nafb_mm(
                 sg, E0, E1, F_xM, foff1, fmask1, off0, sg_off1, valid,
-                fsrc,
+                fsrc, do_finish=not finish_post,
             )
             return _pair_fold(acc_pair, NAF_BMNAF, s0)
 
@@ -1008,19 +1040,34 @@ class ShardedSwiftly:
             shmap(finish_local, in_specs=(t, t, t), out_specs=t)
         )
 
-        def finish_pair_local(acc_pair, foff0, fmask0):
+        def finish_pair_local(acc_pair, foff0, fmask0, foff1, fmask1):
             # fold the c padding rows (wrapped column windows) back onto
             # the start of the yN axis, then finish
             folded = acc_pair[:, :, :yN, :].at[:, :, :c, :].add(
                 acc_pair[:, :, yN:, :]
             )
             acc = jax.lax.complex(folded[0], folded[1]).astype(cdtype)
+            if finish_post:
+                # the deferred axis-1 finish (linear — commutes with
+                # the column sum): yN-scale transform + Fb + mask1 over
+                # all rows at once
+                if use_pallas_fft_bwd:
+                    from ..ops.pallas_fft import fused_finish_rows
+
+                    acc = fused_finish_rows(
+                        acc, fb_yB, foff1, fmask1, yB
+                    ).astype(cdtype)
+                else:
+                    acc = jax.vmap(
+                        lambda a, o1f: fin_facet(a, o1f, yB, 1, Fb)
+                    )(acc, foff1)
+                    acc = acc * fmask1[:, jnp.newaxis, :]
             return finish_local(acc, foff0, fmask0)
 
         self._finish_pair = jax.jit(
             shmap(
                 finish_pair_local,
-                in_specs=(P(None, TILE_AXIS), t, t),
+                in_specs=(P(None, TILE_AXIS), t, t, t, t),
                 out_specs=t,
             )
         )
@@ -1107,7 +1154,7 @@ class ShardedSwiftly:
                 # are the native TPU path, and complex scatters on a scan
                 # carry miscompile for some shapes
                 accum0 = _varying_zeros(
-                    (2, Floc, yN + c, yB), rdtype
+                    (2, Floc, yN + c, acc_w), rdtype
                 )
 
                 k = self.columns_per_step
@@ -1177,7 +1224,7 @@ class ShardedSwiftly:
                 # Gridding direction: consume [C, Bloc, xA, xA] subgrids
                 # into finished facets, one compiled dispatch.
                 accum0 = _varying_zeros(
-                    (2, fmask0.shape[0], yN + c, yB), rdtype
+                    (2, fmask0.shape[0], yN + c, acc_w), rdtype
                 )
 
                 def body(acc, col_and_sg):
@@ -1508,7 +1555,8 @@ class ShardedSwiftly:
             cols,
         )
         return self._finish_pair(
-            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0),
+            self._dev(self._foff1), self._dev(self._fmask1),
         )
 
     def _stream_args(self, packed_facets):
@@ -1548,7 +1596,8 @@ class ShardedSwiftly:
     def _run_stream(self, packed_facets):
         acc_pair = self._stream(*self._stream_args(packed_facets))
         return self._finish_pair(
-            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0),
+            self._dev(self._foff1), self._dev(self._fmask1),
         )
 
     def stream_cost(self):
@@ -1566,12 +1615,15 @@ class ShardedSwiftly:
         compiled_stream = self._stream.lower(
             *self._stream_args(facets)
         ).compile()
+        acc_w = (core.yN_size if self.finish_mode == "post"
+                 else yB)
         acc_pair = jax.ShapeDtypeStruct(
-            (2, self.F_pad, core.yN_size + core.xM_yN_size, yB),
+            (2, self.F_pad, core.yN_size + core.xM_yN_size, acc_w),
             core.real_dtype, sharding=self._pair_shard,
         )
         compiled_finish = self._finish_pair.lower(
-            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0),
+            self._dev(self._foff1), self._dev(self._fmask1),
         ).compile()
         for compiled in (compiled_stream, compiled_finish):
             ca = compiled.cost_analysis()
@@ -1593,9 +1645,11 @@ class ShardedSwiftly:
         """Fresh f32 (re, im) accumulator pair, [2, F_pad, yN, yB],
         facet-sharded — the fused stream's carry layout."""
         if not hasattr(self, "_zeros_pair_fn"):
+            acc_w = (self.core.yN_size if self.finish_mode == "post"
+                     else self.yB_size)
             shape = (
                 2, self.F_pad,
-                self.core.yN_size + self.core.xM_yN_size, self.yB_size,
+                self.core.yN_size + self.core.xM_yN_size, acc_w,
             )
             rdtype = self.core.real_dtype
             self._zeros_pair_fn = jax.jit(
@@ -1654,6 +1708,7 @@ class ShardedSwiftly:
             acc_pair = checkpointer.step_stream(acc_pair, hi)
             ci = hi
         out = self._finish_pair(
-            acc_pair, self._dev(self._foff0), self._dev(self._fmask0)
+            acc_pair, self._dev(self._foff0), self._dev(self._fmask0),
+            self._dev(self._foff1), self._dev(self._fmask1),
         )
         return out, n

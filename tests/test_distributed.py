@@ -337,3 +337,40 @@ def test_prep_mode_full_matches_col():
         )
     assert errs["full"] < 2e-5  # c64 class for multi-pixel sources
     assert errs["full"] < errs["col"] * 1.5
+
+
+def test_finish_mode_post_and_combined_hoisted_engine():
+    """finish_mode="post" (unfinished column blocks fold into a
+    yN-wide carry; the axis-1 finish runs once after the scan — finish
+    is linear so it commutes with the column sum) meets the same oracle
+    bound, alone and combined with prep_mode="full" and
+    fold_mode="gather"."""
+    config = SwiftlyConfig(**TEST_PARAMS)
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    srcs = [(1.0, 100, -50), (0.7, -200, 130)]
+    facets = [make_facet(config.image_size, c, srcs) for c in fcs]
+
+    def rmse(eng):
+        out, n = eng.roundtrip(eng.pack_facets(facets))
+        assert n == len(sgs)
+        out = np.asarray(out)
+        return max(
+            check_facet(config.image_size, cfg,
+                        out[fi, : cfg.size, : cfg.size], srcs)
+            for fi, cfg in enumerate(fcs)
+        )
+
+    base = rmse(ShardedSwiftly(config._core, fcs, sgs,
+                               make_tile_mesh(4)))
+    post = rmse(ShardedSwiftly(config._core, fcs, sgs,
+                               make_tile_mesh(4), finish_mode="post"))
+    hoisted = rmse(ShardedSwiftly(
+        config._core, fcs, sgs, make_tile_mesh(4), finish_mode="post",
+        prep_mode="full", fold_mode="gather",
+    ))
+    assert post < 2e-5 and hoisted < 2e-5
+    assert post < base * 1.5 and hoisted < base * 1.5
+    with pytest.raises(ValueError):
+        ShardedSwiftly(config._core, fcs, sgs, make_tile_mesh(4),
+                       finish_mode="post", acc_mode="ys")
