@@ -144,6 +144,35 @@ WAVE4 = [
       "--skip_baseline"], {}, 3000, False),
 ]
 
+# Wave 5 (round-3 session 3): the scan-hoisting knobs — gather-
+# formulated column fold (SWIFTLY_FOLD), pre-transformed forward
+# prepare (SWIFTLY_PREP=full), post-scan backward finish
+# (SWIFTLY_FINISH=post) — singly then combined, plus the fresh r3
+# stage bisection ordering them. All CPU-verified to the same oracle
+# RMSE; unmeasured on hardware until this wave.
+WAVE5 = [
+    ("ctl_16k", ["--skip_baseline"], {}, 2400, False),
+    ("fold_gather_16k", ["--skip_baseline"],
+     {"SWIFTLY_FOLD": "gather"}, 2400, False),
+    ("fold_gatherm_16k", ["--skip_baseline"],
+     {"SWIFTLY_FOLD": "gatherm"}, 2400, False),
+    ("prep_full_16k", ["--skip_baseline"],
+     {"SWIFTLY_PREP": "full"}, 2400, False),
+    ("finish_post_16k", ["--skip_baseline"],
+     {"SWIFTLY_FINISH": "post"}, 2400, False),
+    ("hoisted_16k", ["--skip_baseline"],
+     {"SWIFTLY_FOLD": "gather", "SWIFTLY_PREP": "full",
+      "SWIFTLY_FINISH": "post"}, 2400, False),
+    ("hoisted_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"],
+     {"SWIFTLY_FOLD": "gather", "SWIFTLY_PREP": "full",
+      "SWIFTLY_FINISH": "post"}, 1800, False),
+    ("hoisted_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--skip_baseline"],
+     {"SWIFTLY_FOLD": "gather", "SWIFTLY_PREP": "full",
+      "SWIFTLY_FINISH": "post"}, 1800, False),
+]
+
 # yN=2048 Mosaic-fault bisection (scripts/mosaic_yn2048_repro.py
 # --engine): the full default engine is known to fault with the
 # demotion bypassed; each rung removes one feature. Every FAULT costs
@@ -267,9 +296,12 @@ def main():
                     help="run the wave-3 coverage queue")
     ap.add_argument("--wave4", action="store_true",
                     help="run the wave-4 new-defaults queue")
+    ap.add_argument("--wave5", action="store_true",
+                    help="run the wave-5 scan-hoisting queue")
     args = ap.parse_args()
 
-    base = (WAVE4 if args.wave4 else WAVE3 if args.wave3
+    base = (WAVE5 if args.wave5 else WAVE4 if args.wave4
+            else WAVE3 if args.wave3
             else WAVE2 if args.wave2 else QUEUE)
     queue = [q + ("bench.py",) for q in base]
     if args.repro_ladder:
