@@ -63,11 +63,16 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _psum_scatter_c(x, axis_name, scatter_dimension):
+def _psum_scatter_c(x, axis_name, scatter_dimension, n=None):
     """psum_scatter for complex arrays via a stacked float pair.
 
     TPU lowering lacks complex reduce-scatter (the 64-bit-type rewriter
-    bails on c64 collectives); float collectives are the native path."""
+    bails on c64 collectives); float collectives are the native path.
+    ``n`` is the axis size when known at trace time: a 1-device axis
+    makes the collective an identity, and skipping it saves the two
+    full float-pair conversion passes per call."""
+    if n == 1:
+        return x
     f = jnp.stack([jnp.real(x), jnp.imag(x)])
     f = jax.lax.psum_scatter(
         f, axis_name, scatter_dimension=scatter_dimension + 1, tiled=True
@@ -75,8 +80,12 @@ def _psum_scatter_c(x, axis_name, scatter_dimension):
     return jax.lax.complex(f[0], f[1]).astype(x.dtype)
 
 
-def _all_to_all_c(x, axis_name, split_axis, concat_axis):
-    """all_to_all for complex arrays via a stacked float pair."""
+def _all_to_all_c(x, axis_name, split_axis, concat_axis, n=None):
+    """all_to_all for complex arrays via a stacked float pair (identity
+    when the axis is known 1-device at trace time, see
+    :func:`_psum_scatter_c`)."""
+    if n == 1:
+        return x
     f = jnp.stack([jnp.real(x), jnp.imag(x)])
     f = jax.lax.all_to_all(
         f, axis_name, split_axis + 1, concat_axis + 1, tiled=True
@@ -657,7 +666,7 @@ class ShardedSwiftly:
                     )  # [B, xM, xM]
 
             summed = _psum_scatter_c(
-                partial, TILE_AXIS, scatter_dimension=0
+                partial, TILE_AXIS, scatter_dimension=0, n=ndev
             )  # [Bloc, xM, xM]
 
             d = jax.lax.axis_index(TILE_AXIS)
@@ -717,7 +726,7 @@ class ShardedSwiftly:
             # The redistribution: reduce over facet shards, scatter over
             # the subgrid batch — one collective over ICI.
             summed = _psum_scatter_c(
-                partial, TILE_AXIS, scatter_dimension=0
+                partial, TILE_AXIS, scatter_dimension=0, n=ndev
             )  # [Bloc, xM, xM]
 
             d = jax.lax.axis_index(TILE_AXIS)
@@ -736,6 +745,7 @@ class ShardedSwiftly:
                 sg = self.process_subgrid(sg, off0, my_off1)
             return sg
 
+        ndev = self.n_devices
         fold_mode = self.fold_mode
         finish_post = self.finish_mode == "post"
         # carry width: finished rows are yB wide; unfinished (post) yN
@@ -779,7 +789,7 @@ class ShardedSwiftly:
                 )  # [Bloc, F_pad, c, c]
 
             x = _all_to_all_c(
-                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0, n=ndev
             )  # [B, Floc, c, c]
 
             B = x.shape[0]
@@ -913,7 +923,7 @@ class ShardedSwiftly:
 
             # Redistribute: subgrid-sharded -> facet-sharded over ICI.
             x = _all_to_all_c(
-                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0, n=ndev
             )  # [B, Floc, c, c]
 
             # accumulate_column, fused: scatter-add every subgrid's

@@ -374,7 +374,8 @@ class StreamedSwiftly:
                 "fqk,bfkl,frl->bqr", A0l, X, A1l, precision=prec
             )  # [B_pad, xM, xM]
             summed = _psum_scatter_c(
-                partial, TILE_AXIS, scatter_dimension=0
+                partial, TILE_AXIS, scatter_dimension=0,
+                n=self.n_devices,
             )  # [Bloc, xM, xM]
 
             d = jax.lax.axis_index(TILE_AXIS)
@@ -408,7 +409,8 @@ class StreamedSwiftly:
                 "fki,bij,flj->bfkl", E0f, FS, E1f, precision=prec
             )  # [Bloc, F_pad, c, c]
             x = _all_to_all_c(
-                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0
+                NAF_NAF, TILE_AXIS, split_axis=1, concat_axis=0,
+                n=self.n_devices,
             )  # [B_pad, Floc, c, c]
 
             s = jnp.floor_divide(sg_off1.astype(jnp.int32), N // yN)
