@@ -22,6 +22,7 @@ XLA elementwise passes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,8 +132,16 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     TR = min(tile_rows, rows)
     # VMEM model: in/out pairs double-buffered + two stage pairs + the
     # Karatsuba bf16 splits — ~20 f32-equivalent copies of the tile
-    # (calibrated: Mosaic reported 21.39M at TR=32, n=8192)
-    while TR > 8 and 4 * n * TR * 20 > 14_000_000:
+    # (calibrated: Mosaic reported 21.39M at TR=32, n=8192). The scoped
+    # budget can be raised past Mosaic's ~16M default via
+    # vmem_limit_bytes (v5e has 128M physical) — fatter tiles amortise
+    # the per-grid-step overhead that dominates at TR=16.
+    # SWIFTLY_FFT_VMEM (MB) / SWIFTLY_FFT_TR sweep these on hardware.
+    budget = int(os.environ.get("SWIFTLY_FFT_VMEM", "14")) * 10**6
+    tr_env = os.environ.get("SWIFTLY_FFT_TR")
+    if tr_env:
+        TR = min(int(tr_env), rows)
+    while TR > 8 and 4 * n * TR * 20 > budget:
         TR //= 2
     grid = (F, pl.cdiv(rows, TR))
     ms = pl.ANY if interpret else pltpu.VMEM
@@ -173,6 +182,7 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=min(int(budget * 1.4), 120 * 10**6),
         ),
         interpret=interpret,
     )(*args)

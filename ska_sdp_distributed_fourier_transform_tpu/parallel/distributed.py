@@ -558,18 +558,21 @@ class ShardedSwiftly:
         prec = self.precision
         use_pallas_fwd = self.engine_mode == "pallas"
         fft_impl = self.fft_impl
-        # Mosaic kernel-faults at runtime when the factor-matmul (mxu)
-        # facet transforms appear in the same compiled module as the
-        # streaming scan at yN=2048: the 4k[1]-n2k-512 roundtrip faults
-        # even with only the in-scan uses pinned to the XLA FFT, while
-        # the pure XLA-FFT engine is validated good at this size (and
-        # yN=8192 is validated good *with* mxu, where it is ~23% faster
-        # end-to-end). Demote the whole engine to the XLA FFT there.
-        # Re-tested on jax 0.9.0 (2026-08-17): the minimised repro
-        # (scripts/mosaic_yn2048_repro.py) now runs clean but the full
-        # engine still faults — the repro under-constrains the trigger.
-        # SWIFTLY_FORCE_MXU_YN2048=1 bypasses the demotion so the repro
-        # script can bisect the faulting feature combination on chip.
+        # TPU kernel fault at yN=2048 — bisected on hardware
+        # (2026-08-19, BENCH_SWEEP_r03.jsonl yn2048_* ladder): the
+        # fused column scan + the factor-matmul (mxu) facet transforms
+        # in ONE compiled module fault (UNAVAILABLE device error)
+        # regardless of engine_mode (pallas AND pure-XLA matmul),
+        # fused_fft, or accumulator mode, while per-column driving of
+        # the SAME column programs is clean, and the scan with the XLA
+        # FFT is clean. The faulting program contains no Pallas in the
+        # matmul rung — an XLA bug, reproducible in-tree with
+        # `scripts/mosaic_yn2048_repro.py --engine --engine_mode
+        # matmul --fused_fft off` (vs `--columns 2` clean). Demote the
+        # engine to the XLA FFT at this size (~5% on 4k configs);
+        # yN=8192 is validated good with mxu (~23% faster end-to-end).
+        # SWIFTLY_FORCE_MXU_YN2048=1 bypasses the demotion (the repro
+        # script uses it).
         if (fft_impl == "mxu" and yN == 2048
                 and os.environ.get("SWIFTLY_FORCE_MXU_YN2048") != "1"):
             fft_impl = "xla"
