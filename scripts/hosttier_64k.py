@@ -1,19 +1,33 @@
-"""Bounded host-tier session at a 64k-class catalogue entry.
+"""Host-tier session at a 64k-class catalogue entry — bounded or FULL.
 
 Executes REAL 64k columns through ``StreamedSwiftly`` (facet state in
-host RAM, bounded per-column device working set) and records measured
-memory against ``utils.memory_plan``'s prediction — converting the
-64k/128k capability claim from modeled to demonstrated (the reference
-only runs these configs on 512 GiB cluster nodes,
+host RAM / on disk, bounded per-column device working set) and records
+measured memory against ``utils.memory_plan``'s prediction. With
+``--full`` it runs the complete 147-column round trip and verifies the
+finished facets against freshly built oracles, one facet at a time —
+the 64k/128k capability claim demonstrated, not modeled (the reference
+only runs these configs on 320-512 GiB cluster nodes,
 reference slurm_scripts/run_distr_single_csd3.slurm +
 swift_configs.py:30-40).
 
 On this 125 GiB box the run needs ``accum_dtype=complex64`` (the
 default complex128 accumulator alone would be 106 GiB at
-64k[1]-n32k-512) and builds oracle facets lazily (one at a time, c64).
+64k[1]-n32k-512). ``--state_dir`` makes the multi-hour run resumable:
 
-Run (CPU, ~2-4 h for 2 columns on one core):
-    python scripts/hosttier_64k.py --columns 2
+* ``BF_F`` is computed into a disk memmap (49.5 GiB) and reattached on
+  restart, skipping the ~80 min facet-build + prepare phase;
+* the accumulator (host RAM) is checkpointed to disk every
+  ``--ckpt_every`` columns (~100 s per save at the measured 519 MB/s)
+  together with a progress marker, so a tunnel death mid-stream loses
+  at most that many columns. The save is deliberately NOT double
+  buffered (two 49.5 GiB copies don't fit next to BF_F on the 120 GiB
+  disk): the progress marker is invalidated before the write and
+  re-armed after, so a crash mid-save falls back to column 0 with the
+  BF_F cache intact.
+
+Run (TPU, full round trip ~4 h, tunnel-bandwidth bound):
+    python scripts/hosttier_64k.py --platform tpu --full \
+        --state_dir /root/state64k --out validation/hosttier_64k_full.json
 """
 
 from __future__ import annotations
@@ -77,12 +91,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--swift_config", default="64k[1]-n32k-512")
     ap.add_argument("--columns", type=int, default=2)
+    ap.add_argument("--full", action="store_true",
+                    help="run ALL columns + finish + per-facet RMSE")
     ap.add_argument("--batch_chunk", type=int, default=48,
                     help="subgrids per device dispatch (bounds the "
                     "column working set)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--accum_dtype", default="complex64",
                     choices=["complex64", "complex128"])
+    ap.add_argument("--state_dir", default=None,
+                    help="resumable state: BF_F memmap + accumulator "
+                    "checkpoints")
+    ap.add_argument("--ckpt_every", type=int, default=30)
+    ap.add_argument("--rmse_bound", type=float, default=1e-5)
     ap.add_argument("--out", default="validation/hosttier_64k_cpu.json")
     args = ap.parse_args()
 
@@ -125,40 +146,108 @@ def main():
     N = config.image_size
     sources = [(1.0, N // 8, -N // 8), (0.5, -N // 3, N // 5)]
 
+    sd = args.state_dir
+    fingerprint = {
+        "config": args.swift_config,
+        "platform": args.platform,
+        "accum_dtype": args.accum_dtype,
+        "sources": [list(map(float, s)) for s in sources],
+    }
+
     engine = StreamedSwiftly(
         config._core, fcs, sgs, batch_chunk=args.batch_chunk,
         accum_dtype=args.accum_dtype,
+        host_store_dir=sd,
     )
 
-    facets = LazyFacets(N, fcs, sources, np.complex64)
-    t0 = time.time()
-    engine.prepare_facets(facets)
-    t_prep = time.time() - t0
-    facets._cache = (None, None)  # free the last oracle facet
+    # --- BF_F: reattach from a previous session or prepare fresh -----
+    bf_path = sd and os.path.join(sd, "bf_f.npy")
+    meta_path = sd and os.path.join(sd, "meta.json")
+    t_prep = 0.0
+    reused_bf = False
+    if sd and os.path.exists(bf_path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fingerprint and meta.get("bf_f_ok"):
+            engine.attach_host_state(
+                bf_f=np.load(bf_path, mmap_mode="r")
+            )
+            reused_bf = True
+            log(f"reattached BF_F memmap from {bf_path}")
+    if not reused_bf:
+        facets = LazyFacets(N, fcs, sources, np.complex64)
+        t0 = time.time()
+        engine.prepare_facets(facets)
+        t_prep = time.time() - t0
+        facets._cache = (None, None)  # free the last oracle facet
+        if sd:
+            engine._BF_F.flush()
+            with open(meta_path, "w") as f:
+                json.dump({"fingerprint": fingerprint, "bf_f_ok": True},
+                          f)
     bf_gib = engine._BF_F.nbytes / 1024**3
-    log(f"prepared {len(fcs)} facets in {t_prep:.0f}s; BF_F "
-        f"{bf_gib:.1f} GiB host (rss {rss_gib():.1f} GiB)")
+    log(f"BF_F ready ({'reused' if reused_bf else f'{t_prep:.0f}s'}); "
+        f"{bf_gib:.1f} GiB (rss {rss_gib():.1f} GiB)")
 
-    engine.zero_accumulator()
+    # --- accumulator: RAM (disk memmap would make every column's
+    # scatter-add a read-modify-write to disk); resumable via explicit
+    # checkpoint saves ------------------------------------------------
+    engine.host_store_dir = None
+    acc_path = sd and os.path.join(sd, "accum_ckpt.npy")
+    prog_path = sd and os.path.join(sd, "progress.json")
+    start = 0
+    if sd and os.path.exists(acc_path) and os.path.exists(prog_path):
+        with open(prog_path) as f:
+            prog = json.load(f)
+        if (prog.get("fingerprint") == fingerprint
+                and prog.get("valid") and prog.get("next_column")):
+            log(f"resuming accumulator from column "
+                f"{prog['next_column']} ({acc_path})")
+            engine.attach_host_state(
+                accum=np.load(acc_path).astype(args.accum_dtype,
+                                               copy=False)
+            )
+            start = int(prog["next_column"])
+    if start == 0:
+        engine.zero_accumulator()
     acc_gib = engine._accum.nbytes / 1024**3
     log(f"accumulator {acc_gib:.1f} GiB host "
         f"(rss {rss_gib():.1f} GiB)")
 
-    C = min(args.columns, engine.plan.n_columns)
+    def save_ckpt(done):
+        # invalidate -> overwrite in place -> re-arm (see module doc)
+        t0 = time.time()
+        with open(prog_path, "w") as f:
+            json.dump({"valid": False}, f)
+        np.save(acc_path, engine._accum)
+        with open(prog_path, "w") as f:
+            json.dump({"fingerprint": fingerprint, "valid": True,
+                       "next_column": done}, f)
+        log(f"checkpointed accumulator at column {done} "
+            f"({time.time() - t0:.0f}s)")
+
+    n_cols_total = engine.plan.n_columns
+    C = n_cols_total if args.full else min(args.columns, n_cols_total)
     col_times = []
-    n_sg = 0
-    for ci in range(C):
+    n_sg = sum(
+        len(engine.plan.configs[ci]) for ci in range(start)
+    )
+    t_cols0 = time.time()
+    for ci in range(start, C):
         t0 = time.time()
         engine.process_column(ci)
         col_times.append(round(time.time() - t0, 1))
         n_sg += len(engine.plan.configs[ci])
-        log(f"column {ci + 1}/{engine.plan.n_columns} "
+        log(f"column {ci + 1}/{n_cols_total} "
             f"({col_times[-1]:.0f}s, {n_sg} subgrids, "
             f"rss {rss_gib():.1f} GiB)")
+        if sd and ((ci + 1) % args.ckpt_every == 0 or ci + 1 == C):
+            save_ckpt(ci + 1)
+    t_cols = time.time() - t_cols0
 
     # accumulator must be non-trivially populated by the executed
     # columns (the backward fold actually landed)
-    touched = float(np.abs(engine._accum).max())
+    touched = float(np.abs(engine._accum[:, :: max(1, engine._accum.shape[1] // 64)]).max())
     assert touched > 0.0, "backward fold wrote nothing"
 
     result = {
@@ -168,10 +257,17 @@ def main():
         "accum_dtype": args.accum_dtype,
         "batch_chunk": args.batch_chunk,
         "columns_executed": C,
-        "n_columns_total": engine.plan.n_columns,
+        "n_columns_total": n_cols_total,
         "subgrids_executed": n_sg,
         "prepare_s": round(t_prep, 1),
-        "column_s": col_times,
+        "bf_f_reused": reused_bf,
+        "columns_s_total": round(t_cols, 1),
+        "column_s": col_times if len(col_times) <= 8 else {
+            "first": col_times[0],
+            "median": sorted(col_times)[len(col_times) // 2],
+            "last": col_times[-1],
+            "count": len(col_times),
+        },
         "accum_abs_max": touched,
         "measured": {
             "BF_F_gib": round(bf_gib, 2),
@@ -185,6 +281,48 @@ def main():
             ),
         },
     }
+
+    # --- full-run finish + per-facet RMSE, one facet at a time -------
+    if C == n_cols_total:
+        from ska_sdp_distributed_fourier_transform_tpu.api_helper import (
+            make_facet,
+        )
+
+        engine._BF_F = None  # release the memmap before finish
+        t_fin0 = time.time()
+        facet_rmse = []
+        for fi in range(len(fcs)):
+            t0 = time.time()
+            approx = engine.finish_facet(fi)
+            oracle = np.asarray(
+                make_facet(N, fcs[fi], sources), dtype=np.complex64
+            )
+            # chunked error accumulation (no second yB^2 temp)
+            err2 = 0.0
+            rows = approx.shape[0]
+            step = max(1, rows // 16)
+            for lo in range(0, rows, step):
+                hi = min(lo + step, rows)
+                d = approx[lo:hi] - oracle[lo:hi]
+                err2 += float(np.vdot(d, d).real)
+            rmse = float(np.sqrt(err2 / approx.size))
+            facet_rmse.append(rmse)
+            log(f"facet {fi}: RMSE {rmse:.3e} "
+                f"({time.time() - t0:.0f}s, rss {rss_gib():.1f} GiB)")
+            del approx, oracle
+        t_fin = time.time() - t_fin0
+        worst = max(facet_rmse)
+        result.update({
+            "complete_roundtrip": True,
+            "finish_s": round(t_fin, 1),
+            "facet_rmse": [float(f"{r:.6e}") for r in facet_rmse],
+            "roundtrip_rmse_c64": worst,
+            "rmse_bound": args.rmse_bound,
+            "result": "PASS" if worst < args.rmse_bound else "FAIL",
+        })
+        log(f"complete round trip: worst facet RMSE {worst:.3e} "
+            f"(bound {args.rmse_bound:g}) -> {result['result']}")
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

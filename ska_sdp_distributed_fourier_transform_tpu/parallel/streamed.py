@@ -92,8 +92,20 @@ class StreamedSwiftly:
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
                  batch_chunk=None, prepare_chunk=2048, precision="high",
                  fft_impl="xla", mesh=None, process_local=None,
-                 accum_dtype=None):
+                 accum_dtype=None, host_store_dir=None):
         self.core = core
+        #: Optional directory for disk-backed host state: when set,
+        #: ``BF_F`` and the accumulator are numpy memmaps
+        #: (``<dir>/bf_f.npy`` / ``<dir>/accum.npy``) instead of RAM
+        #: arrays — prepare writes them sequentially, the per-column
+        #: gather/scatter reads/writes only each column's wrap-window
+        #: rows, so the page cache keeps the hot set and host RSS stays
+        #: bounded. This is what lets 64k-class full runs coexist with
+        #: other host work on a 125 GiB box, and is one half of the
+        #: 128k story (whose full facet state exceeds host RAM —
+        #: reference only runs these on 320-512 GiB cluster nodes,
+        #: reference slurm_scripts/run_distr_single_csd3.slurm).
+        self.host_store_dir = host_store_dir
         self.precision = jax.lax.Precision(precision)
         #: Host accumulator dtype. Default complex128 (the host fold is
         #: free to be exact). complex64 halves the accumulator's host
@@ -491,8 +503,8 @@ class StreamedSwiftly:
         """
         core = self.core
         yN, yB = core.yN_size, self.yB_size
-        self._BF_F = np.zeros(
-            (len(self._store_fidx), yN, yB), dtype=core.dtype
+        self._BF_F = self._host_alloc(
+            "bf_f", (len(self._store_fidx), yN, yB), core.dtype
         )
         for k, fi in enumerate(self._store_fidx):
             facet = facet_arrays[fi]
@@ -510,11 +522,44 @@ class StreamedSwiftly:
                 out = self._prepare_cols(cols, off0)
                 self._BF_F[k, :, lo:hi] = get_complex(out)
 
+    def _host_alloc(self, name, shape, dtype):
+        """Allocate a host-state array: RAM by default, a fresh
+        zero-filled disk memmap under ``host_store_dir`` when set."""
+        if self.host_store_dir:
+            os.makedirs(self.host_store_dir, exist_ok=True)
+            path = os.path.join(self.host_store_dir, f"{name}.npy")
+            return np.lib.format.open_memmap(
+                path, mode="w+", shape=shape, dtype=dtype
+            )
+        return np.zeros(shape, dtype=dtype)
+
+    def attach_host_state(self, bf_f=None, accum=None):
+        """Adopt already-computed host state (e.g. a memmap reloaded
+        from a previous session) in place of ``prepare_facets`` /
+        ``zero_accumulator``. Shapes/dtypes are validated."""
+        yN, yB = self.core.yN_size, self.yB_size
+        shape = (len(self._store_fidx), yN, yB)
+        if bf_f is not None:
+            if bf_f.shape != shape or bf_f.dtype != self.core.dtype:
+                raise ValueError(
+                    f"BF_F mismatch: {bf_f.shape}/{bf_f.dtype} vs "
+                    f"{shape}/{self.core.dtype}"
+                )
+            self._BF_F = bf_f
+        if accum is not None:
+            if accum.shape != shape or accum.dtype != self.accum_dtype:
+                raise ValueError(
+                    f"accum mismatch: {accum.shape}/{accum.dtype} vs "
+                    f"{shape}/{self.accum_dtype}"
+                )
+            self._accum = accum
+
     def zero_accumulator(self):
         """Fresh host-side facet accumulator (``accum_dtype``)."""
-        self._accum = np.zeros(
+        self._accum = self._host_alloc(
+            "accum",
             (len(self._store_fidx), self.core.yN_size, self.yB_size),
-            dtype=self.accum_dtype,
+            self.accum_dtype,
         )
 
     def _col_args(self, ci, lo, hi):
@@ -662,6 +707,35 @@ class StreamedSwiftly:
             )
         return collected
 
+    def finish_facet(self, fi):
+        """Finish ONE facet from the host accumulator (device axis-0
+        transform, yB-column chunks) and return its ``[yB, yB]`` host
+        array.
+
+        At 64k/128k scale the full list of finished facets does not fit
+        host RAM next to the accumulator — callers stream facets one at
+        a time (validate/free each before the next;
+        scripts/hosttier_64k.py does this for the complete-run RMSE).
+
+        :param fi: global facet index; must be stored on this process
+        """
+        core = self.core
+        yB = self.yB_size
+        k = list(self._store_fidx).index(fi)
+        facet = np.zeros((yB, yB), dtype=core.dtype)
+        off0 = jnp.asarray(self._foff0[fi], jnp.int32)
+        for lo in range(0, yB, self.prepare_chunk):
+            hi = min(lo + self.prepare_chunk, yB)
+            cols = put_complex(
+                self._accum[k, :, lo:hi], dtype=core.dtype
+            )
+            m0 = jnp.asarray(
+                self._fmask0[fi, :, np.newaxis]
+            ).astype(core.real_dtype)
+            res = self._finish_cols(cols, off0, m0)
+            facet[:, lo:hi] = get_complex(res)
+        return facet
+
     def finish_facets(self):
         """Finish the host accumulator into per-facet arrays
         (device axis-0 transform, yB-column chunks).
@@ -669,23 +743,9 @@ class StreamedSwiftly:
         :return: list of length ``F`` — in process-local mode entries
             for facets stored on other processes are ``None``
         """
-        core = self.core
-        yB = self.yB_size
         out = [None] * self.F
-        for k, fi in enumerate(self._store_fidx):
-            facet = np.zeros((yB, yB), dtype=core.dtype)
-            off0 = jnp.asarray(self._foff0[fi], jnp.int32)
-            for lo in range(0, yB, self.prepare_chunk):
-                hi = min(lo + self.prepare_chunk, yB)
-                cols = put_complex(
-                    self._accum[k, :, lo:hi], dtype=core.dtype
-                )
-                m0 = jnp.asarray(
-                    self._fmask0[fi, :, np.newaxis]
-                ).astype(core.real_dtype)
-                res = self._finish_cols(cols, off0, m0)
-                facet[:, lo:hi] = get_complex(res)
-            out[fi] = facet
+        for fi in self._store_fidx:
+            out[fi] = self.finish_facet(fi)
         return out
 
     def _fingerprint(self):
