@@ -36,9 +36,12 @@ __all__ = ["fused_prepare_rows", "fused_finish_rows", "four_step_pallas"]
 
 
 @functools.lru_cache(maxsize=None)
-def _plan_pair(n, inverse):
-    """(n1, n2, F1^T, W^T, F2^T) as float-pair numpy constants; the
-    twiddle arrives pre-laid-out as [n2(b), n1(c)]."""
+def _plan_pair(n, inverse, form="tt"):
+    """Factor-matmul constants as float-pair numpy, laid out for the
+    requested kernel formulation: ``tt`` wants (F1^T, W^T[b,c], F2^T);
+    ``ls`` wants (F1[c,a], W[c,b], F2^T) — its stage 1 is a LEFT
+    multiply so F1 stays untransposed and the twiddle is applied in
+    [c, b] layout."""
     from .fft_mxu import fft_mxu_plan
 
     plan = fft_mxu_plan(n, inverse)
@@ -50,6 +53,8 @@ def _plan_pair(n, inverse):
         z = np.ascontiguousarray(z)
         return (z.real.astype(np.float32), z.imag.astype(np.float32))
 
+    if form == "ls":
+        return n1, n2, pair(F1), pair(W), pair(F2.T)
     return n1, n2, pair(F1.T), pair(W.T), pair(F2.T)
 
 
@@ -76,14 +81,44 @@ def _four_step_tile(xr, xi, f1t, wt, f2t, n1, n2):
     return or_, oi_
 
 
-def _fourstep_kernel(n1, n2, with_phase,
+def _four_step_tile_ls(xr, xi, f1, wcb, f2t, n1, n2):
+    """[TR, n1, n2] pair -> [TR, n2, n1] pair — the leading-swap
+    formulation. The ``tt`` tile does three last-two-axis swaps per
+    tile (lane transposes, VPU-bound: the round-3 micro-bench put the
+    kernel at <10% of HBM peak). Here stage 1 is a LEFT multiply
+    ``F1[c,a] @ [a, TR·b]`` — the contraction axis reaches the MXU via
+    two *leading*-dim swaps (sublane-granular tile moves, no lane
+    shuffles) — which leaves stage 2 contracting the lane axis
+    directly, so only the final output reorder remains a transpose."""
+    TR = xr.shape[0]
+    # stage 1: [TR, a, b] -> [a, TR, b] -> [a, (TR b)]; left-multiply
+    xr3 = jnp.swapaxes(xr, 0, 1).reshape(n1, -1)
+    xi3 = jnp.swapaxes(xi, 0, 1).reshape(n1, -1)
+    t1r, t1i = _karatsuba(f1[0], f1[1], xr3, xi3)  # [c, (TR b)]
+    t1r = jnp.swapaxes(t1r.reshape(n1, TR, n2), 0, 1)  # [TR, c, b]
+    t1i = jnp.swapaxes(t1i.reshape(n1, TR, n2), 0, 1)
+    # twiddle W[c, b]
+    wr = wcb[0][jnp.newaxis]
+    wi = wcb[1][jnp.newaxis]
+    t2r = t1r * wr - t1i * wi
+    t2i = t1r * wi + t1i * wr
+    # stage 2: contract b on lanes — no swap needed
+    or_, oi_ = _karatsuba(t2r.reshape(-1, n2), t2i.reshape(-1, n2),
+                          f2t[0], f2t[1])  # [(TR c), d]
+    or_ = jnp.swapaxes(or_.reshape(TR, n1, n2), 1, 2)  # [TR, d, c]
+    oi_ = jnp.swapaxes(oi_.reshape(TR, n1, n2), 1, 2)
+    return or_, oi_
+
+
+def _fourstep_kernel(n1, n2, with_phase, form,
                      xr_ref, xi_ref, f1tr_ref, f1ti_ref, wtr_ref,
                      wti_ref, f2tr_ref, f2ti_ref, *rest):
     if with_phase:
         phr_ref, phi_ref, or_ref, oi_ref = rest
     else:
         or_ref, oi_ref = rest
-    tr, ti = _four_step_tile(
+    tile = _four_step_tile_ls if form == "ls" else _four_step_tile
+    tr, ti = tile(
         xr_ref[0], xi_ref[0],
         (f1tr_ref[:], f1ti_ref[:]),
         (wtr_ref[:], wti_ref[:]),
@@ -100,7 +135,7 @@ def _fourstep_kernel(n1, n2, with_phase,
 
 
 def four_step_pallas(x, inverse, phase=None, tile_rows=32,
-                     interpret=None, as_pair=False):
+                     interpret=None, as_pair=False, form=None):
     """Fused four-step transform along the last axis of ``x``.
 
     Matches :func:`.fft_mxu.fft_mxu` (centre-zero shift convention) but
@@ -109,12 +144,19 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     :param x: complex [F, rows, n] (row-major; n must factor)
     :param phase: optional complex [F, n] multiplied into the output
         (per-facet image-space phases)
+    :param form: tile formulation — ``"tt"`` (transpose per stage) or
+        ``"ls"`` (leading-swap, one lane transpose per tile); default
+        from ``SWIFTLY_FFT_FORM`` (``tt`` until measured on hardware)
     :return: complex64 [F, rows, n]
     """
     if interpret is None:
         interpret = not _is_tpu()
+    if form is None:
+        form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
+    if form not in ("tt", "ls"):
+        raise ValueError(f"Unknown four-step formulation: {form}")
     n = x.shape[-1]
-    plan = _plan_pair(n, inverse)
+    plan = _plan_pair(n, inverse, form)
     if plan is None:
         raise ValueError(f"no four-step factorisation for n={n}")
     n1, n2, f1t, wt, f2t = plan
@@ -149,7 +191,8 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     x_spec = pl.BlockSpec((1, TR, n1, n2), lambda f, t: (f, t, 0, 0),
                           memory_space=ms)
     c1 = pl.BlockSpec((n1, n1), lambda f, t: (0, 0), memory_space=ms)
-    cw = pl.BlockSpec((n2, n1), lambda f, t: (0, 0), memory_space=ms)
+    w_shape = (n1, n2) if form == "ls" else (n2, n1)
+    cw = pl.BlockSpec(w_shape, lambda f, t: (0, 0), memory_space=ms)
     c2 = pl.BlockSpec((n2, n2), lambda f, t: (0, 0), memory_space=ms)
     o_spec = pl.BlockSpec((1, TR, n2, n1), lambda f, t: (f, t, 0, 0),
                           memory_space=ms)
@@ -167,7 +210,7 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         )
         in_specs += [ph_spec, ph_spec]
     kernel = functools.partial(_fourstep_kernel, n1, n2,
-                               phase is not None)
+                               phase is not None, form)
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,

@@ -147,3 +147,31 @@ def test_fused_lr_sandwich_is_finish_subgrid(rng):
     want = np.einsum("qk,bkl,brl->bqr", G0, S, G1)
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+@pytest.mark.parametrize("form", ["tt", "ls"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_four_step_pallas_forms_match_fft_mxu(rng, form, inverse):
+    """Both tile formulations (per-stage transpose and leading-swap)
+    reproduce the XLA-level four-step transform to the kernel's 3-pass
+    bf16-split accuracy class, including the fused output phase."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops.fft_mxu import (
+        fft_mxu,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        four_step_pallas,
+    )
+
+    n = 512
+    x = _crand(rng, (3, 48, n))
+    phase = np.exp(1j * rng.normal(size=(3, n))).astype(np.complex64)
+    got = four_step_pallas(
+        jnp.asarray(x), inverse=inverse, phase=jnp.asarray(phase),
+        interpret=True, form=form,
+    )
+    want = fft_mxu(jnp.asarray(x), inverse=inverse)
+    want = want * jnp.asarray(phase)[:, None, :]
+    rel = float(jnp.max(jnp.abs(got - want))) / float(
+        jnp.max(jnp.abs(want))
+    )
+    assert rel < 5e-5
