@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import _is_tpu, _karatsuba, _sds
 
-__all__ = ["fused_prepare_rows", "fused_finish_rows", "four_step_pallas"]
+__all__ = ["fused_prepare_rows", "fused_finish_rows",
+           "four_step_pallas", "permute_positions"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -53,7 +54,7 @@ def _plan_pair(n, inverse, form="tt"):
         z = np.ascontiguousarray(z)
         return (z.real.astype(np.float32), z.imag.astype(np.float32))
 
-    if form == "ls":
+    if form in ("ls", "bd"):
         return n1, n2, pair(F1), pair(W), pair(F2.T)
     return n1, n2, pair(F1.T), pair(W.T), pair(F2.T)
 
@@ -110,22 +111,78 @@ def _four_step_tile_ls(xr, xi, f1, wcb, f2t, n1, n2):
     return or_, oi_
 
 
-def _fourstep_kernel(n1, n2, with_phase, form,
+def _four_step_tile_bd(xr, xi, f1, wcb, f2t, n1, n2, permuted):
+    """[TR, n1, n2] pair -> [TR, n2, n1] pair (or [TR, n1, n2] in
+    permuted order) — the batched-left-dot formulation.
+
+    The tt/ls tiles measured identical on chip (3.65 vs 3.69 ms at the
+    S1 shape) while a pure-copy kernel runs ~2.6x faster: the cost is
+    VPU data movement generally, not lane transposes specifically. This
+    tile minimises movement outright: stage 1 is the ls left multiply
+    ``F1[c,a] @ [a,(t b)]`` (one leading swap in), the twiddle applies
+    in the ``[c, t, b]`` layout it lands in (``W[c,b]`` broadcast over
+    t — no post-stage swap), and stage 2 contracts the lane axis
+    directly from the same layout. One leading swap out gives
+    ``[t, c, d]``; with ``permuted=True`` that is the OUTPUT — flat
+    index ``loc = c*n2 + d`` holding transform position
+    ``p = d*n1 + c`` — and no lane transpose ever runs. Consumers undo
+    the permutation in their own index arithmetic (see
+    :func:`permute_positions`); ``permuted=False`` appends the one
+    lane transpose for the natural order.
+    """
+    TR = xr.shape[0]
+    # stage 1: [TR, a, b] -> [a, (TR b)]; left multiply
+    xr3 = jnp.swapaxes(xr, 0, 1).reshape(n1, -1)
+    xi3 = jnp.swapaxes(xi, 0, 1).reshape(n1, -1)
+    t1r, t1i = _karatsuba(f1[0], f1[1], xr3, xi3)  # [c, (TR b)]
+    t1r = t1r.reshape(n1, TR, n2)
+    t1i = t1i.reshape(n1, TR, n2)
+    # twiddle W[c, b] broadcast over the middle (row) axis — applied in
+    # the layout stage 1 produced, no movement
+    wr = wcb[0][:, jnp.newaxis, :]
+    wi = wcb[1][:, jnp.newaxis, :]
+    t2r = t1r * wr - t1i * wi
+    t2i = t1r * wi + t1i * wr
+    # stage 2: contract b on lanes from the same layout
+    or_, oi_ = _karatsuba(t2r.reshape(-1, n2), t2i.reshape(-1, n2),
+                          f2t[0], f2t[1])  # [(c TR), d]
+    or_ = jnp.swapaxes(or_.reshape(n1, TR, n2), 0, 1)  # [TR, c, d]
+    oi_ = jnp.swapaxes(oi_.reshape(n1, TR, n2), 0, 1)
+    if not permuted:
+        or_ = jnp.swapaxes(or_, 1, 2)  # [TR, d, c] natural order
+        oi_ = jnp.swapaxes(oi_, 1, 2)
+    return or_, oi_
+
+
+def permute_positions(ix, n1, n2):
+    """Map natural transform positions ``p = d*n1 + c`` to their flat
+    location ``c*n2 + d`` in a ``permuted=True`` bd-form output (works
+    on numpy or traced int arrays)."""
+    return (ix % n1) * n2 + ix // n1
+
+
+def _fourstep_kernel(n1, n2, with_phase, form, permuted,
                      xr_ref, xi_ref, f1tr_ref, f1ti_ref, wtr_ref,
                      wti_ref, f2tr_ref, f2ti_ref, *rest):
     if with_phase:
         phr_ref, phi_ref, or_ref, oi_ref = rest
     else:
         or_ref, oi_ref = rest
-    tile = _four_step_tile_ls if form == "ls" else _four_step_tile
-    tr, ti = tile(
-        xr_ref[0], xi_ref[0],
+    consts = (
         (f1tr_ref[:], f1ti_ref[:]),
         (wtr_ref[:], wti_ref[:]),
-        (f2tr_ref[:], f2ti_ref[:]), n1, n2,
+        (f2tr_ref[:], f2ti_ref[:]),
     )
+    if form == "bd":
+        tr, ti = _four_step_tile_bd(xr_ref[0], xi_ref[0], *consts,
+                                    n1, n2, permuted)
+    else:
+        tile = _four_step_tile_ls if form == "ls" else _four_step_tile
+        tr, ti = tile(xr_ref[0], xi_ref[0], *consts, n1, n2)
     if with_phase:
-        phr = phr_ref[0, 0]  # [n2, n1] — the output-order phase layout
+        # [n2, n1] natural output order, or [n1, n2] when permuted —
+        # the caller lays the phase out to match
+        phr = phr_ref[0, 0]
         phi = phi_ref[0, 0]
         or_ref[0] = tr * phr[jnp.newaxis] - ti * phi[jnp.newaxis]
         oi_ref[0] = tr * phi[jnp.newaxis] + ti * phr[jnp.newaxis]
@@ -135,7 +192,8 @@ def _fourstep_kernel(n1, n2, with_phase, form,
 
 
 def four_step_pallas(x, inverse, phase=None, tile_rows=32,
-                     interpret=None, as_pair=False, form=None):
+                     interpret=None, as_pair=False, form=None,
+                     permuted=False):
     """Fused four-step transform along the last axis of ``x``.
 
     Matches :func:`.fft_mxu.fft_mxu` (centre-zero shift convention) but
@@ -143,18 +201,26 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
 
     :param x: complex [F, rows, n] (row-major; n must factor)
     :param phase: optional complex [F, n] multiplied into the output
-        (per-facet image-space phases)
-    :param form: tile formulation — ``"tt"`` (transpose per stage) or
-        ``"ls"`` (leading-swap, one lane transpose per tile); default
-        from ``SWIFTLY_FFT_FORM`` (``tt`` until measured on hardware)
+        (per-facet image-space phases; always given in natural
+        position order — the permuted mode re-lays it out internally)
+    :param form: tile formulation — ``"tt"`` (transpose per stage),
+        ``"ls"`` (leading-swap, one lane transpose per tile) or
+        ``"bd"`` (batched-left-dot, no lane transpose when permuted);
+        default from ``SWIFTLY_FFT_FORM``
+    :param permuted: bd only — return the output in its in-kernel
+        ``loc = (p % n1)*n2 + p//n1`` order, skipping the final lane
+        transpose; consumers remap indices via
+        :func:`permute_positions`
     :return: complex64 [F, rows, n]
     """
     if interpret is None:
         interpret = not _is_tpu()
     if form is None:
         form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
-    if form not in ("tt", "ls"):
+    if form not in ("tt", "ls", "bd"):
         raise ValueError(f"Unknown four-step formulation: {form}")
+    if permuted and form != "bd":
+        raise ValueError("permuted output requires form='bd'")
     n = x.shape[-1]
     plan = _plan_pair(n, inverse, form)
     if plan is None:
@@ -191,10 +257,11 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     x_spec = pl.BlockSpec((1, TR, n1, n2), lambda f, t: (f, t, 0, 0),
                           memory_space=ms)
     c1 = pl.BlockSpec((n1, n1), lambda f, t: (0, 0), memory_space=ms)
-    w_shape = (n1, n2) if form == "ls" else (n2, n1)
+    w_shape = (n1, n2) if form in ("ls", "bd") else (n2, n1)
     cw = pl.BlockSpec(w_shape, lambda f, t: (0, 0), memory_space=ms)
     c2 = pl.BlockSpec((n2, n2), lambda f, t: (0, 0), memory_space=ms)
-    o_spec = pl.BlockSpec((1, TR, n2, n1), lambda f, t: (f, t, 0, 0),
+    out_tail = (n1, n2) if permuted else (n2, n1)
+    o_spec = pl.BlockSpec((1, TR) + out_tail, lambda f, t: (f, t, 0, 0),
                           memory_space=ms)
     args = [xr, xi,
             jnp.asarray(f1t[0]), jnp.asarray(f1t[1]),
@@ -203,21 +270,30 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     in_specs = [x_spec, x_spec, c1, c1, cw, cw, c2, c2]
     if phase is not None:
         phr, phi = split(phase)
-        # phase over output positions p = d*n1 + c -> [n2, n1] layout
-        args += [phr.reshape(F, 1, n2, n1), phi.reshape(F, 1, n2, n1)]
+        if permuted:
+            # [c, d] layout: location loc = c*n2 + d holds position
+            # p = d*n1 + c
+            loc = jnp.arange(n, dtype=jnp.int32)
+            idx = (loc % n2) * n1 + loc // n2
+            phr = jnp.take(phr, idx, axis=-1)
+            phi = jnp.take(phi, idx, axis=-1)
+        # natural mode: phase over positions p = d*n1 + c -> [n2, n1]
+        args += [phr.reshape((F, 1) + out_tail),
+                 phi.reshape((F, 1) + out_tail)]
         ph_spec = pl.BlockSpec(
-            (1, 1, n2, n1), lambda f, t: (f, 0, 0, 0), memory_space=ms
+            (1, 1) + out_tail, lambda f, t: (f, 0, 0, 0),
+            memory_space=ms
         )
         in_specs += [ph_spec, ph_spec]
     kernel = functools.partial(_fourstep_kernel, n1, n2,
-                               phase is not None, form)
+                               phase is not None, form, permuted)
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[o_spec, o_spec],
-        out_shape=[_sds((F, rows, n2, n1), xr),
-                   _sds((F, rows, n2, n1), xr)],
+        out_shape=[_sds((F, rows) + out_tail, xr),
+                   _sds((F, rows) + out_tail, xr)],
         cost_estimate=pl.CostEstimate(
             flops=6 * F * rows * n * (n1 + n2),
             bytes_accessed=4 * 4 * F * rows * n,
@@ -271,14 +347,23 @@ def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,
     :return: complex64 [F, c, yB]
     """
     F, c, yN = x.shape
+    form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
+    # bd: take the output in permuted order and fold the permutation
+    # into the wrap-window gather indices — the final lane transpose
+    # never runs and the gather costs the same
+    permuted = form == "bd"
     g = four_step_pallas(x, inverse=False, tile_rows=tile_rows,
-                         interpret=interpret)
+                         interpret=interpret, form=form,
+                         permuted=permuted)
     starts = jnp.mod(
         yN // 2 - yB // 2
         + jnp.asarray(facet_offs, jnp.int32)[:, jnp.newaxis]
         + jnp.arange(yB, dtype=jnp.int32)[jnp.newaxis, :],
         yN,
     )  # [F, yB]
+    if permuted:
+        n1, n2 = _plan_pair(yN, False, form)[:2]
+        starts = permute_positions(starts, n1, n2)
     w = jax.vmap(lambda gf, ix: jnp.take(gf, ix, axis=1))(g, starts)
     fb = jnp.asarray(Fb_yB, jnp.float32)
     w = w * fb[jnp.newaxis, jnp.newaxis, :].astype(w.dtype)

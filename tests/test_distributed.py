@@ -374,3 +374,39 @@ def test_finish_mode_post_and_combined_hoisted_engine():
     with pytest.raises(ValueError):
         ShardedSwiftly(config._core, fcs, sgs, make_tile_mesh(4),
                        finish_mode="post", acc_mode="ys")
+
+
+def test_fft_form_bd_engine_agrees(monkeypatch):
+    """SWIFTLY_FFT_FORM=bd (batched-left-dot tiles; permuted output +
+    permuted gather on the finish side) matches the tt engine through a
+    full fused_fft=both round trip."""
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu.ops.core import (
+        SwiftlyCore,
+    )
+
+    config = SwiftlyConfig(**TEST_PARAMS)
+    core64 = SwiftlyCore(
+        TEST_PARAMS["W"], TEST_PARAMS["N"], TEST_PARAMS["xM_size"],
+        TEST_PARAMS["yN_size"], dtype=jnp.complex64,
+    )
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+
+    outs = {}
+    for form in ("tt", "bd"):
+        monkeypatch.setenv("SWIFTLY_FFT_FORM", form)
+        eng = ShardedSwiftly(core64, fcs, sgs, mesh,
+                             engine_mode="pallas", fused_fft="both")
+        out, _ = eng.roundtrip(eng.pack_facets(facets))
+        outs[form] = np.asarray(out)
+    d = outs["bd"] - outs["tt"]
+    rmse = np.sqrt((np.abs(d) ** 2).mean())
+    # same kernels, different contraction association order — a few
+    # ulps of f32 noise, far below the engine's own oracle floor
+    assert rmse < 1e-5, rmse
+    for cfg, approx in zip(fcs, outs["bd"]):
+        assert check_facet(config.image_size, cfg, approx, SOURCES) < 5e-3

@@ -149,7 +149,7 @@ def test_fused_lr_sandwich_is_finish_subgrid(rng):
     assert np.max(np.abs(got - want)) / scale < 1e-4
 
 
-@pytest.mark.parametrize("form", ["tt", "ls"])
+@pytest.mark.parametrize("form", ["tt", "ls", "bd"])
 @pytest.mark.parametrize("inverse", [False, True])
 def test_four_step_pallas_forms_match_fft_mxu(rng, form, inverse):
     """Both tile formulations (per-stage transpose and leading-swap)
@@ -175,3 +175,57 @@ def test_four_step_pallas_forms_match_fft_mxu(rng, form, inverse):
         jnp.max(jnp.abs(want))
     )
     assert rel < 5e-5
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_four_step_pallas_bd_permuted(rng, inverse):
+    """The bd tile's permuted output is the natural-order transform
+    under the documented index map (loc = (p % n1)*n2 + p//n1), with
+    the fused phase laid out to match."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        _plan_pair,
+        four_step_pallas,
+        permute_positions,
+    )
+
+    n = 512
+    n1, n2 = _plan_pair(n, inverse, "bd")[:2]
+    x = _crand(rng, (2, 24, n))
+    phase = np.exp(1j * rng.normal(size=(2, n))).astype(np.complex64)
+    perm = four_step_pallas(
+        jnp.asarray(x), inverse=inverse, phase=jnp.asarray(phase),
+        interpret=True, form="bd", permuted=True,
+    )
+    nat = four_step_pallas(
+        jnp.asarray(x), inverse=inverse, phase=jnp.asarray(phase),
+        interpret=True, form="bd",
+    )
+    loc = permute_positions(np.arange(n), n1, n2)
+    np.testing.assert_allclose(
+        np.asarray(perm)[..., loc], np.asarray(nat), rtol=0, atol=1e-5
+    )
+
+
+def test_fused_finish_rows_bd_matches_tt(rng, monkeypatch):
+    """fused_finish_rows under SWIFTLY_FFT_FORM=bd (permuted transform
+    + permuted gather indices) matches the tt path."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        fused_finish_rows,
+    )
+
+    n, yB = 512, 320
+    x = _crand(rng, (3, 24, n))
+    fb = rng.normal(size=(yB,)).astype(np.float32)
+    offs = np.asarray([0, 64, -96], np.int32)
+    masks = (rng.uniform(size=(3, yB)) > 0.1).astype(np.float32)
+
+    monkeypatch.setenv("SWIFTLY_FFT_FORM", "tt")
+    want = np.asarray(fused_finish_rows(
+        jnp.asarray(x), fb, jnp.asarray(offs), masks, yB, interpret=True
+    ))
+    monkeypatch.setenv("SWIFTLY_FFT_FORM", "bd")
+    got = np.asarray(fused_finish_rows(
+        jnp.asarray(x), fb, jnp.asarray(offs), masks, yB, interpret=True
+    ))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 5e-5
