@@ -38,9 +38,11 @@ def main():
     xim = jax.random.normal(k1, shape, jnp.float32)
 
     bytes_per_call = 2 * args.F * args.rows * args.n * 8  # c64 in + out
-    for form in ("tt", "ls"):
+    for form, permuted in (("tt", False), ("ls", False), ("bd", False),
+                           ("bd", True)):
         def one(carry, _):
-            y = four_step_pallas(carry, inverse=False, form=form)
+            y = four_step_pallas(carry, inverse=False, form=form,
+                                 permuted=permuted)
             # keep magnitude bounded so the chain doesn't overflow
             return y * (1.0 / args.n), None
 
@@ -65,7 +67,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         ms = best / args.iters * 1e3
         gbps = bytes_per_call / (best / args.iters) / 1e9
-        print(f"form={form}: {ms:.3f} ms/call  {gbps:.1f} GB/s effective")
+        name = form + ("+perm" if permuted else "")
+        print(f"form={name}: {ms:.3f} ms/call  {gbps:.1f} GB/s effective")
 
 
 if __name__ == "__main__":
