@@ -111,7 +111,8 @@ def _four_step_tile_ls(xr, xi, f1, wcb, f2t, n1, n2):
     return or_, oi_
 
 
-def _four_step_tile_bd(xr, xi, f1, wcb, f2t, n1, n2, permuted):
+def _four_step_tile_bd(xr, xi, f1, wcb, f2t, n1, n2, permuted,
+                       win=None):
     """[TR, n1, n2] pair -> [TR, n2, n1] pair (or [TR, n1, n2] in
     permuted order) — the batched-left-dot formulation.
 
@@ -131,9 +132,17 @@ def _four_step_tile_bd(xr, xi, f1, wcb, f2t, n1, n2, permuted):
     lane transpose for the natural order.
     """
     TR = xr.shape[0]
+    if win is not None:
+        # fused window: the centre-pad never materialises — the zero
+        # rows contribute nothing to the stage-1 contraction, so ``f1``
+        # arrives column-sliced to the live rows and the matmul shrinks
+        # by the pad fraction
+        xr = xr * win[jnp.newaxis]
+        xi = xi * win[jnp.newaxis]
+    ya = xr.shape[1]
     # stage 1: [TR, a, b] -> [a, (TR b)]; left multiply
-    xr3 = jnp.swapaxes(xr, 0, 1).reshape(n1, -1)
-    xi3 = jnp.swapaxes(xi, 0, 1).reshape(n1, -1)
+    xr3 = jnp.swapaxes(xr, 0, 1).reshape(ya, -1)
+    xi3 = jnp.swapaxes(xi, 0, 1).reshape(ya, -1)
     t1r, t1i = _karatsuba(f1[0], f1[1], xr3, xi3)  # [c, (TR b)]
     t1r = t1r.reshape(n1, TR, n2)
     t1i = t1i.reshape(n1, TR, n2)
@@ -161,9 +170,24 @@ def permute_positions(ix, n1, n2):
     return (ix % n1) * n2 + ix // n1
 
 
-def _fourstep_kernel(n1, n2, with_phase, form, permuted,
+def pad_spec_aligned(n, lo, yB, inverse):
+    """True when the centre-pad geometry lands on whole factored rows
+    (lo and yB multiples of the plan's n2), i.e. the bd kernel can fuse
+    the window+pad into its input DMA."""
+    plan = _plan_pair(n, inverse, "bd")
+    if plan is None:
+        return False
+    n2 = plan[1]
+    return lo % n2 == 0 and yB % n2 == 0
+
+
+def _fourstep_kernel(n1, n2, with_phase, form, permuted, with_win,
                      xr_ref, xi_ref, f1tr_ref, f1ti_ref, wtr_ref,
                      wti_ref, f2tr_ref, f2ti_ref, *rest):
+    win = None
+    if with_win:
+        win_ref, rest = rest[0], rest[1:]
+        win = win_ref[:]
     if with_phase:
         phr_ref, phi_ref, or_ref, oi_ref = rest
     else:
@@ -175,7 +199,7 @@ def _fourstep_kernel(n1, n2, with_phase, form, permuted,
     )
     if form == "bd":
         tr, ti = _four_step_tile_bd(xr_ref[0], xi_ref[0], *consts,
-                                    n1, n2, permuted)
+                                    n1, n2, permuted, win=win)
     else:
         tile = _four_step_tile_ls if form == "ls" else _four_step_tile
         tr, ti = tile(xr_ref[0], xi_ref[0], *consts, n1, n2)
@@ -193,7 +217,7 @@ def _fourstep_kernel(n1, n2, with_phase, form, permuted,
 
 def four_step_pallas(x, inverse, phase=None, tile_rows=32,
                      interpret=None, as_pair=False, form=None,
-                     permuted=False):
+                     permuted=False, pad_spec=None):
     """Fused four-step transform along the last axis of ``x``.
 
     Matches :func:`.fft_mxu.fft_mxu` (centre-zero shift convention) but
@@ -211,6 +235,14 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         ``loc = (p % n1)*n2 + p//n1`` order, skipping the final lane
         transpose; consumers remap indices via
         :func:`permute_positions`
+    :param pad_spec: bd only — ``(n, lo, fb)``: ``x`` is the UNPADDED
+        [F, rows, yB] block, logically windowed by real ``fb`` [yB] and
+        centre-embedded at offset ``lo`` of an ``n``-long zero axis.
+        Neither the window product nor the pad ever materialises: the
+        kernel windows the tile in VMEM and contracts the live rows
+        against a column-sliced F1 (zero rows contribute nothing).
+        Requires ``lo`` and ``yB`` to be multiples of the plan's n2 —
+        callers check :func:`pad_spec_aligned` and fall back.
     :return: complex64 [F, rows, n]
     """
     if interpret is None:
@@ -221,7 +253,9 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         raise ValueError(f"Unknown four-step formulation: {form}")
     if permuted and form != "bd":
         raise ValueError("permuted output requires form='bd'")
-    n = x.shape[-1]
+    if pad_spec is not None and form != "bd":
+        raise ValueError("pad_spec requires form='bd'")
+    n = x.shape[-1] if pad_spec is None else pad_spec[0]
     plan = _plan_pair(n, inverse, form)
     if plan is None:
         raise ValueError(f"no four-step factorisation for n={n}")
@@ -235,8 +269,24 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
 
     xr, xi = split(x)
     F, rows = xr.shape[0], xr.shape[1]
-    xr = xr.reshape(F, rows, n1, n2)
-    xi = xi.reshape(F, rows, n1, n2)
+    fb_win = None
+    if pad_spec is not None:
+        _, lo, fb = pad_spec
+        yB = xr.shape[-1]
+        if lo % n2 or yB % n2:
+            raise ValueError(
+                f"pad_spec misaligned: lo={lo}, yB={yB}, n2={n2}"
+            )
+        ya = yB // n2
+        a_lo = lo // n2
+        f1t = (f1t[0][:, a_lo:a_lo + ya], f1t[1][:, a_lo:a_lo + ya])
+        fb_win = jnp.asarray(fb, jnp.float32).reshape(ya, n2)
+        xr = xr.reshape(F, rows, ya, n2)
+        xi = xi.reshape(F, rows, ya, n2)
+    else:
+        ya = n1
+        xr = xr.reshape(F, rows, n1, n2)
+        xi = xi.reshape(F, rows, n1, n2)
     TR = min(tile_rows, rows)
     # VMEM model: in/out pairs double-buffered + two stage pairs + the
     # Karatsuba bf16 splits — ~20 f32-equivalent copies of the tile
@@ -254,9 +304,9 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
     grid = (F, pl.cdiv(rows, TR))
     ms = pl.ANY if interpret else pltpu.VMEM
 
-    x_spec = pl.BlockSpec((1, TR, n1, n2), lambda f, t: (f, t, 0, 0),
+    x_spec = pl.BlockSpec((1, TR, ya, n2), lambda f, t: (f, t, 0, 0),
                           memory_space=ms)
-    c1 = pl.BlockSpec((n1, n1), lambda f, t: (0, 0), memory_space=ms)
+    c1 = pl.BlockSpec((n1, ya), lambda f, t: (0, 0), memory_space=ms)
     w_shape = (n1, n2) if form in ("ls", "bd") else (n2, n1)
     cw = pl.BlockSpec(w_shape, lambda f, t: (0, 0), memory_space=ms)
     c2 = pl.BlockSpec((n2, n2), lambda f, t: (0, 0), memory_space=ms)
@@ -268,6 +318,11 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
             jnp.asarray(wt[0]), jnp.asarray(wt[1]),
             jnp.asarray(f2t[0]), jnp.asarray(f2t[1])]
     in_specs = [x_spec, x_spec, c1, c1, cw, cw, c2, c2]
+    if fb_win is not None:
+        args.append(fb_win)
+        in_specs.append(
+            pl.BlockSpec((ya, n2), lambda f, t: (0, 0), memory_space=ms)
+        )
     if phase is not None:
         phr, phi = split(phase)
         if permuted:
@@ -286,7 +341,8 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
         )
         in_specs += [ph_spec, ph_spec]
     kernel = functools.partial(_fourstep_kernel, n1, n2,
-                               phase is not None, form, permuted)
+                               phase is not None, form, permuted,
+                               fb_win is not None)
     outr, outi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -327,12 +383,22 @@ def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
     """
     F, c, yB = rows.shape
     lo = yN // 2 - yB // 2
+    form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
+    if form == "bd" and pad_spec_aligned(yN, lo, yB, True):
+        # window+pad fused into the kernel's input DMA: the [F, c, yN]
+        # padded intermediate never touches HBM and stage 1 contracts
+        # only the live yB rows
+        return four_step_pallas(
+            rows, inverse=True, phase=phase, tile_rows=tile_rows,
+            interpret=interpret, as_pair=as_pair, form="bd",
+            pad_spec=(yN, lo, Fb_yB),
+        )
     fb = jnp.asarray(Fb_yB, jnp.float32)
     win = rows * fb[jnp.newaxis, jnp.newaxis, :].astype(rows.dtype)
     padded = jnp.pad(win, ((0, 0), (0, 0), (lo, yN - yB - lo)))
     return four_step_pallas(padded, inverse=True, phase=phase,
                             tile_rows=tile_rows, interpret=interpret,
-                            as_pair=as_pair)
+                            as_pair=as_pair, form=form)
 
 
 def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,

@@ -229,3 +229,35 @@ def test_fused_finish_rows_bd_matches_tt(rng, monkeypatch):
     ))
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 5e-5
+
+
+@pytest.mark.parametrize("yB_blocks", ["aligned", "misaligned"])
+def test_fused_prepare_rows_bd_matches_tt(rng, monkeypatch, yB_blocks):
+    """fused_prepare_rows under SWIFTLY_FFT_FORM=bd — fused window+pad
+    in the kernel's input DMA when the geometry is n2-aligned, padded
+    fallback otherwise — matches the tt path."""
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        _plan_pair,
+        fused_prepare_rows,
+        pad_spec_aligned,
+    )
+
+    n = 512
+    n2 = _plan_pair(n, True, "bd")[1]
+    yB = 10 * n2 if yB_blocks == "aligned" else 10 * n2 - 8
+    lo = n // 2 - yB // 2
+    assert pad_spec_aligned(n, lo, yB, True) == (yB_blocks == "aligned")
+    x = _crand(rng, (3, 24, yB))
+    fb = rng.normal(size=(yB,)).astype(np.float32)
+    phase = np.exp(1j * rng.normal(size=(3, n))).astype(np.complex64)
+
+    monkeypatch.setenv("SWIFTLY_FFT_FORM", "tt")
+    want = np.asarray(fused_prepare_rows(
+        jnp.asarray(x), fb, jnp.asarray(phase), n, interpret=True
+    ))
+    monkeypatch.setenv("SWIFTLY_FFT_FORM", "bd")
+    got = np.asarray(fused_prepare_rows(
+        jnp.asarray(x), fb, jnp.asarray(phase), n, interpret=True
+    ))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 5e-5
