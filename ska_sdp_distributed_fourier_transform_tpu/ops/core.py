@@ -84,6 +84,25 @@ def _wrap_take(a, start, size, axis):
     return jnp.take(a, idx, axis=axis)
 
 
+def _wrap_take_slices(a, start, size, axis):
+    """:func:`_wrap_take` as two static-size dynamic slices instead of a
+    general gather: the window is contiguous-with-wrap, so it is pure
+    DMA — ``q1`` anchored at the (clamped) start, ``q2`` at the array
+    head for the wrapped tail, stitched with one small slice. XLA
+    lowers this to block copies where the row gather builds per-row
+    scatter/gather descriptors.
+    """
+    n = a.shape[axis]
+    start = jnp.mod(start, n)
+    q1 = jax.lax.dynamic_slice_in_dim(a, start, size, axis)
+    # dynamic_slice clamps start to n-size; delta is how far it moved
+    delta = start - jnp.minimum(start, n - size)
+    q2 = jax.lax.slice_in_dim(a, 0, size, axis=axis)
+    return jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([q1, q2], axis=axis), delta, size, axis
+    )
+
+
 def _roll_extract_roll(a, scaled_off, size, axis):
     """roll(+s) . extract_mid(size) . roll(-s) along axis, gather-based."""
     win = _wrap_take(a, a.shape[axis] // 2 - size // 2 + scaled_off, size,

@@ -42,6 +42,7 @@ from ..ops import operators as linop
 from ..ops.core import (
     SwiftlyCore,
     _scale_off,
+    _wrap_take_slices,
     add_to_facet_fn,
     add_to_subgrid_fn,
     extract_from_facet_fn,
@@ -215,7 +216,7 @@ class ShardedSwiftly:
                  process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
                  gather_fused=None, acc_mode=None, fold_mode=None,
-                 prep_mode=None, finish_mode=None):
+                 prep_mode=None, finish_mode=None, extract0=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -274,6 +275,22 @@ class ShardedSwiftly:
         if fold_mode not in ("scatter", "gather", "gatherm"):
             raise ValueError(f"Unknown fold_mode: {fold_mode}")
         self.fold_mode = fold_mode
+        # Forward axis-0 contribution extraction (operator modes):
+        #   "roll" (default): the gather-based roll/extract/roll
+        #     (ops/core.py extract_from_facet_fn) — a general row
+        #     gather over [Floc, yN, yB].
+        #   "slices": the in-window roll is absorbed into A0's columns
+        #     (a per-column roll of the ~10 MB operator instead of a
+        #     permuted gather of the ~300 MB stream) and the remaining
+        #     contiguous wrap window is read as static-size dynamic
+        #     slices (_wrap_take_slices) — pure DMA.
+        # Mathematically identical (A0 @ roll(X) == roll(A0) @ X);
+        # None defers to the SWIFTLY_EXTRACT0 env knob.
+        if extract0 is None:
+            extract0 = os.environ.get("SWIFTLY_EXTRACT0", "roll")
+        if extract0 not in ("roll", "slices"):
+            raise ValueError(f"Unknown extract0: {extract0}")
+        self.extract0 = extract0
         # Forward column-prepare strategy for the fused stream:
         #   "col" (default): each column extracts its c wrap-window rows
         #     from BF_F and transforms them (extract + axis-1 prepare
@@ -604,6 +621,7 @@ class ShardedSwiftly:
                           and _fmode in ("both", "fwd"))
         use_pallas_fft_bwd = (use_pallas_fwd and fft_impl == "mxu"
                               and _fmode in ("both", "bwd"))
+        use_slices0 = self.extract0 == "slices"
 
         def fwd_column_local_mm(BF_F, A0, A1, Fi_xM, foff1, ph1, off0,
                                 sg_off1, valid, mask0, mask1,
@@ -612,6 +630,21 @@ class ShardedSwiftly:
             # is one MXU einsum against precomputed per-facet operators;
             # finish_subgrid is a sandwich against offset-gathered rows of
             # the inverse-DFT matrix.
+            if use_slices0 and not prepped:
+                # extract0="slices": contiguous wrap window as pure DMA;
+                # the in-window roll moves into A0's columns
+                # (A0 @ roll(X, s0) == roll(A0, -s0, axis=-1) @ X)
+                s0 = _scale_off(off0, N // yN)
+                _win_start = yN // 2 - c // 2 + s0
+
+                def _extract0(bf):
+                    return _wrap_take_slices(bf, _win_start, c, 0)
+
+                A0 = jnp.roll(A0, -s0, axis=-1)
+            else:
+                def _extract0(bf):
+                    return extract_from_facet_fn(bf, off0, 0, N, yN, c)
+
             if prepped:
                 # prep_mode="full": BF_F is already the fully prepared
                 # [Floc, yN, yN] — the column step is a pure row gather
@@ -622,10 +655,7 @@ class ShardedSwiftly:
             elif use_pallas_fft:
                 from ..ops.pallas_fft import fused_prepare_rows
 
-                rows = jax.vmap(
-                    lambda bf: extract_from_facet_fn(bf, off0, 0, N, yN,
-                                                     c)
-                )(BF_F)  # [Floc, c, yB]
+                rows = jax.vmap(_extract0)(BF_F)  # [Floc, c, yB]
                 # complex output: pair-threading to the sandwich was
                 # measured SLOWER (1046 vs 1101 sg/s at 16k) — XLA
                 # already fuses the complex<->pair conversions into the
@@ -636,8 +666,7 @@ class ShardedSwiftly:
                 ).astype(cdtype)
             else:
                 def col_one(bf, o1):
-                    nm = extract_from_facet_fn(bf, off0, 0, N, yN, c)
-                    return prep_facet_scan(nm, o1, 1, Fb, yN)
+                    return prep_facet_scan(_extract0(bf), o1, 1, Fb, yN)
 
                 NMBF_BF = jax.vmap(col_one)(BF_F, foff1)  # [Floc, c, yN]
 

@@ -361,3 +361,23 @@ def test_pickle_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(clone._Fn), np.asarray(dft._Fn)
     )
+
+
+def test_wrap_take_slices_matches_gather():
+    """The slice-based wrap window equals the gather-based one for all
+    wrap positions (both sides of the clamp) and both axes."""
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu.ops.core import (
+        _wrap_take,
+        _wrap_take_slices,
+    )
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(12, 17)))
+    for axis, n in ((0, 12), (1, 17)):
+        size = 5
+        for start in range(-n, 2 * n):
+            got = np.asarray(_wrap_take_slices(a, start, size, axis))
+            want = np.asarray(_wrap_take(a, start, size, axis))
+            np.testing.assert_array_equal(got, want, err_msg=f"{axis},{start}")
