@@ -173,6 +173,33 @@ WAVE5 = [
       "SWIFTLY_FINISH": "post"}, 1800, False),
 ]
 
+# Round-4 wave: the movement-minimising S1/S7 formulations built
+# while the 64k run held the chip — bd four-step tiles (fused
+# window+pad input, permuted finish output) and the slice-based
+# forward extraction. Records go to BENCH_SWEEP_r04.jsonl.
+WAVE6 = [
+    ("ctl_16k", ["--skip_baseline"], {}, 2400, False),
+    # first hardware compile of the bd tiles + pad_spec input
+    ("bd_16k", ["--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd"}, 2400, True),
+    ("slices_16k", ["--skip_baseline"],
+     {"SWIFTLY_EXTRACT0": "slices"}, 2400, False),
+    ("bd_slices_16k", ["--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd", "SWIFTLY_EXTRACT0": "slices"},
+     2400, False),
+    ("bd_slices_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd", "SWIFTLY_EXTRACT0": "slices"},
+     1800, False),
+    ("bd_slices_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd", "SWIFTLY_EXTRACT0": "slices"},
+     1800, False),
+    # kernel-level A/B at the S1 shape (tt/ls/bd/bd+perm)
+    ("microbench_forms", [], {}, 1800, False,
+     "scripts/microbench_fft_form.py"),
+]
+
 # yN=2048 Mosaic-fault bisection (scripts/mosaic_yn2048_repro.py
 # --engine): the full default engine is known to fault with the
 # demotion bypassed; each rung removes one feature. Every FAULT costs
@@ -298,12 +325,19 @@ def main():
                     help="run the wave-4 new-defaults queue")
     ap.add_argument("--wave5", action="store_true",
                     help="run the wave-5 scan-hoisting queue")
+    ap.add_argument("--wave6", action="store_true",
+                    help="run the round-4 bd/extract0 queue "
+                    "(records to BENCH_SWEEP_r04.jsonl)")
     args = ap.parse_args()
 
-    base = (WAVE5 if args.wave5 else WAVE4 if args.wave4
+    base = (WAVE6 if args.wave6 else WAVE5 if args.wave5
+            else WAVE4 if args.wave4
             else WAVE3 if args.wave3
             else WAVE2 if args.wave2 else QUEUE)
-    queue = [q + ("bench.py",) for q in base]
+    if args.wave6:
+        global OUT
+        OUT = os.path.join(REPO, "BENCH_SWEEP_r04.jsonl")
+    queue = [q if len(q) == 6 else q + ("bench.py",) for q in base]
     if args.repro_ladder:
         queue += [
             q + ("scripts/mosaic_yn2048_repro.py",)
