@@ -165,19 +165,35 @@ def main():
     meta_path = sd and os.path.join(sd, "meta.json")
     t_prep = 0.0
     reused_bf = False
+    facets_done = 0
     if sd and os.path.exists(bf_path) and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("fingerprint") == fingerprint and meta.get("bf_f_ok"):
-            engine.attach_host_state(
-                bf_f=np.load(bf_path, mmap_mode="r")
-            )
-            reused_bf = True
-            log(f"reattached BF_F memmap from {bf_path}")
+        if meta.get("fingerprint") == fingerprint:
+            if meta.get("bf_f_ok"):
+                engine.attach_host_state(
+                    bf_f=np.load(bf_path, mmap_mode="r")
+                )
+                reused_bf = True
+                log(f"reattached BF_F memmap from {bf_path}")
+            else:
+                facets_done = int(meta.get("bf_f_facets_done", 0))
+                if facets_done:
+                    log(f"resuming BF_F prepare from facet "
+                        f"{facets_done}")
     if not reused_bf:
         facets = LazyFacets(N, fcs, sources, np.complex64)
+
+        def _mark(k):
+            if sd:
+                with open(meta_path, "w") as f:
+                    json.dump({"fingerprint": fingerprint,
+                               "bf_f_facets_done": k + 1}, f)
+                log(f"prepared facet {k} (rss {rss_gib():.1f} GiB)")
+
         t0 = time.time()
-        engine.prepare_facets(facets)
+        engine.prepare_facets(facets, start_facet=facets_done,
+                              on_facet_done=_mark)
         t_prep = time.time() - t0
         facets._cache = (None, None)  # free the last oracle facet
         if sd:

@@ -493,20 +493,32 @@ class StreamedSwiftly:
 
     # --------------------------------------------------------------- phases
 
-    def prepare_facets(self, facet_arrays):
+    def prepare_facets(self, facet_arrays, start_facet=0,
+                       on_facet_done=None):
         """Compute host-resident ``BF_F`` from per-facet host arrays,
         one yB-column chunk at a time on device.
 
         In process-local mode only this process's facets are prepared
         and stored; entries of ``facet_arrays`` for other processes'
         facets may be ``None``.
+
+        :param start_facet: resume after a partial prepare — stored
+            facets before this index are assumed present in the
+            (reused) host store and are skipped
+        :param on_facet_done: called with the store index after each
+            facet's rows are written (checkpoint hook — callers persist
+            a facet-granular progress marker so a killed multi-hour
+            prepare resumes instead of restarting)
         """
         core = self.core
         yN, yB = core.yN_size, self.yB_size
         self._BF_F = self._host_alloc(
-            "bf_f", (len(self._store_fidx), yN, yB), core.dtype
+            "bf_f", (len(self._store_fidx), yN, yB), core.dtype,
+            reuse=start_facet > 0,
         )
         for k, fi in enumerate(self._store_fidx):
+            if k < start_facet:
+                continue
             facet = facet_arrays[fi]
             if facet is None:
                 raise ValueError(
@@ -521,13 +533,22 @@ class StreamedSwiftly:
                 )
                 out = self._prepare_cols(cols, off0)
                 self._BF_F[k, :, lo:hi] = get_complex(out)
+            if on_facet_done is not None:
+                if self.host_store_dir:
+                    self._BF_F.flush()
+                on_facet_done(k)
 
-    def _host_alloc(self, name, shape, dtype):
-        """Allocate a host-state array: RAM by default, a fresh
-        zero-filled disk memmap under ``host_store_dir`` when set."""
+    def _host_alloc(self, name, shape, dtype, reuse=False):
+        """Allocate a host-state array: RAM by default, a disk memmap
+        under ``host_store_dir`` when set (fresh zero-filled, or the
+        existing file when ``reuse`` — partial-prepare resume)."""
         if self.host_store_dir:
             os.makedirs(self.host_store_dir, exist_ok=True)
             path = os.path.join(self.host_store_dir, f"{name}.npy")
+            if reuse and os.path.exists(path):
+                mm = np.lib.format.open_memmap(path, mode="r+")
+                if mm.shape == shape and mm.dtype == dtype:
+                    return mm
             return np.lib.format.open_memmap(
                 path, mode="w+", shape=shape, dtype=dtype
             )
