@@ -178,7 +178,12 @@ WAVE5 = [
 # window+pad input, permuted finish output) and the slice-based
 # forward extraction. Records go to BENCH_SWEEP_r04.jsonl.
 WAVE6 = [
-    ("ctl_16k", ["--skip_baseline"], {}, 2400, False),
+    # round-3-exact engine (phase-fused prepare/finish off) = the
+    # same-session control every other item compares against
+    ("ctl_r3_16k", ["--skip_baseline"],
+     {"SWIFTLY_PHASE_FUSED": "0"}, 2400, False),
+    # the fused prepare/finish PHASES alone (new default)
+    ("phasefused_16k", ["--skip_baseline"], {}, 2400, False),
     # first hardware compile of the bd tiles + pad_spec input
     ("bd_16k", ["--skip_baseline"],
      {"SWIFTLY_FFT_FORM": "bd"}, 2400, True),
