@@ -469,6 +469,9 @@ class ShardedSwiftly:
         self._ph1 = np.exp(
             2j * np.pi / yN * np.outer(self._foff1.astype(np.int64), j)
         )
+        self._ph0 = np.exp(
+            2j * np.pi / yN * np.outer(self._foff0.astype(np.int64), j)
+        )
 
     # ------------------------------------------------------------- packing
 
@@ -568,6 +571,27 @@ class ShardedSwiftly:
 
         def prepare_local(facets, foff0):
             # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
+            if use_pallas_fft and os.environ.get(
+                    "SWIFTLY_PHASE_FUSED", "1") == "1":
+                # Route the stream's prepare PHASE through the fused
+                # row-transform kernel (axis moved last at XLA level):
+                # the XLA-level four-step materialises every stage in
+                # HBM and needs a separate window+pad pass; the kernel
+                # does one read + one write (and with form=bd skips the
+                # pad entirely). Host-f64 phases, as in the column path.
+                from ..ops.pallas_fft import fused_prepare_rows
+
+                d = jax.lax.axis_index(TILE_AXIS)
+                Floc = facets.shape[0]
+                ph0 = jax.lax.complex(
+                    _my(jnp.asarray(ph0_pair[0]), d, Floc),
+                    _my(jnp.asarray(ph0_pair[1]), d, Floc),
+                )
+                ft = jnp.swapaxes(facets, 1, 2)  # [Floc, yB(cols), yB]
+                out = fused_prepare_rows(ft, fb_yB, ph0, yN).astype(
+                    cdtype
+                )
+                return jnp.swapaxes(out, 1, 2)  # [Floc, yN, yB]
             return jax.vmap(
                 lambda f, o0: prep_facet(f, o0, 0, Fb, yN)
             )(facets, foff0)
@@ -608,6 +632,11 @@ class ShardedSwiftly:
         fb_yB = np.asarray(core._Fb, dtype=np.float64)[
             (yN - 1) // 2 - self.yB_size // 2 :
         ][: self.yB_size].astype(np.float32)
+        # axis-0 phase constants for the fused prepare phase (small:
+        # [F_pad, yN] f32 pair, embedded replicated and sliced per
+        # shard inside shard_map)
+        ph0_pair = (self._ph0.real.astype(np.float32),
+                    self._ph0.imag.astype(np.float32))
 
         # Fused four-step transform kernel (ops/pallas_fft.py).
         # fused_fft=fwd|bwd|both|off. Measured at 16k on v5e
@@ -1016,6 +1045,18 @@ class ShardedSwiftly:
             return jax.lax.dynamic_slice_in_dim(arr, d * nloc, nloc)
 
         def finish_local(MNAF_BMNAF, foff0, fmask0):
+            if use_pallas_fft_bwd and os.environ.get(
+                    "SWIFTLY_PHASE_FUSED", "1") == "1":
+                # the axis-0 finish through the fused forward kernel
+                # (axis moved last at XLA level; with form=bd the
+                # permuted output folds into the gather indices)
+                from ..ops.pallas_fft import fused_finish_rows
+
+                x = jnp.swapaxes(MNAF_BMNAF, 1, 2)  # [Floc, yB, yN]
+                out = fused_finish_rows(
+                    x, fb_yB, foff0, fmask0, yB
+                ).astype(cdtype)
+                return jnp.swapaxes(out, 1, 2)  # [Floc, yB, yB]
             out = jax.vmap(
                 lambda a, o0: fin_facet(a, o0, yB, 0, Fb)
             )(MNAF_BMNAF, foff0)

@@ -447,3 +447,39 @@ def test_extract0_slices_matches_roll():
     out, _ = eng.roundtrip(eng.pack_facets(facets))
     for cfg, approx in zip(fcs, np.asarray(out)):
         assert check_facet(config.image_size, cfg, approx, SOURCES) < 5e-3
+
+
+def test_phase_fused_prepare_finish_agrees(monkeypatch):
+    """The fused prepare/finish PHASES (stream-level axis-0 transforms
+    through the pallas row kernel) match the XLA fft_mxu path at the
+    engine noise floor and hold the oracle bound."""
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu.ops.core import (
+        SwiftlyCore,
+    )
+
+    config = SwiftlyConfig(**TEST_PARAMS)
+    core64 = SwiftlyCore(
+        TEST_PARAMS["W"], TEST_PARAMS["N"], TEST_PARAMS["xM_size"],
+        TEST_PARAMS["yN_size"], dtype=jnp.complex64,
+    )
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    facets = [make_facet(config.image_size, c, SOURCES) for c in fcs]
+    mesh = make_tile_mesh(4)
+
+    outs = {}
+    for fused in ("0", "1"):
+        monkeypatch.setenv("SWIFTLY_PHASE_FUSED", fused)
+        eng = ShardedSwiftly(core64, fcs, sgs, mesh,
+                             engine_mode="pallas", fused_fft="both")
+        out, _ = eng.roundtrip(eng.pack_facets(facets))
+        outs[fused] = np.asarray(out)
+    d = outs["1"] - outs["0"]
+    rmse = np.sqrt((np.abs(d) ** 2).mean())
+    # two extra bf16-split kernel passes (CPU-interpreted emulation)
+    # add a few ulps over the 5e-4 pallas-vs-matmul floor
+    assert rmse < 1e-3, rmse
+    for cfg, approx in zip(fcs, outs["1"]):
+        assert check_facet(config.image_size, cfg, approx, SOURCES) < 5e-3
