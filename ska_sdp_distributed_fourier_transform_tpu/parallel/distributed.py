@@ -216,7 +216,8 @@ class ShardedSwiftly:
                  process_subgrid=None, columns_per_step=None,
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
                  gather_fused=None, acc_mode=None, fold_mode=None,
-                 prep_mode=None, finish_mode=None, extract0=None):
+                 prep_mode=None, finish_mode=None, extract0=None,
+                 phase_fused=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -291,6 +292,18 @@ class ShardedSwiftly:
         if extract0 not in ("roll", "slices"):
             raise ValueError(f"Unknown extract0: {extract0}")
         self.extract0 = extract0
+        # Route the fused stream's prepare/finish PHASES through the
+        # fused Pallas row-transform kernel. Resolved ONCE here (not at
+        # trace time inside the jitted bodies — flipping the env var
+        # after the first program build must not silently do nothing).
+        # Default OFF: the phase-fused 16k run RESOURCE_EXHAUSTED on
+        # v5e twice in fresh processes (BENCH_SWEEP_r04.jsonl
+        # phasefused_16k) — only a measured green run flips this.
+        if phase_fused is None:
+            phase_fused = (
+                os.environ.get("SWIFTLY_PHASE_FUSED", "0") == "1"
+            )
+        self.phase_fused = bool(phase_fused)
         # Forward column-prepare strategy for the fused stream:
         #   "col" (default): each column extracts its c wrap-window rows
         #     from BF_F and transforms them (extract + axis-1 prepare
@@ -422,6 +435,19 @@ class ShardedSwiftly:
 
         self._shard = tile_sharding(self.mesh)
         self._repl = replicated_sharding(self.mesh)
+        # Per-facet image-space phase vectors (host f64 — exact roots
+        # of unity). Needed by every engine mode (the phase-fused
+        # prepare/finish reads _ph0 at program-build time), so built
+        # unconditionally — NOT inside _build_operators, which fft mode
+        # never runs (the round-4 _ph0 AttributeError regression).
+        yN_ = core.yN_size
+        j_ = np.arange(yN_) - yN_ // 2
+        self._ph1 = np.exp(
+            2j * np.pi / yN_ * np.outer(self._foff1.astype(np.int64), j_)
+        )
+        self._ph0 = np.exp(
+            2j * np.pi / yN_ * np.outer(self._foff0.astype(np.int64), j_)
+        )
         if self._operator_mode:
             self._build_operators()
         self._build_programs()
@@ -462,16 +488,8 @@ class ShardedSwiftly:
         ])
         self._Fi_xM = linop.shifted_idft_matrix(xM)
         self._F_xM = linop.shifted_dft_matrix(xM)
-        # per-facet axis-1 image-space phase vectors for the fused
-        # prepare kernel (host f64 — exact roots of unity)
-        yN = core.yN_size
-        j = np.arange(yN) - yN // 2
-        self._ph1 = np.exp(
-            2j * np.pi / yN * np.outer(self._foff1.astype(np.int64), j)
-        )
-        self._ph0 = np.exp(
-            2j * np.pi / yN * np.outer(self._foff0.astype(np.int64), j)
-        )
+        # (_ph0/_ph1 phase vectors are built unconditionally in
+        # __init__ — every engine mode needs them)
 
     # ------------------------------------------------------------- packing
 
@@ -569,10 +587,11 @@ class ShardedSwiftly:
         cdtype = core.dtype
         rdtype = core.real_dtype
 
+        phase_fused = self.phase_fused
+
         def prepare_local(facets, foff0):
             # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
-            if use_pallas_fft and os.environ.get(
-                    "SWIFTLY_PHASE_FUSED", "1") == "1":
+            if use_pallas_fft and phase_fused:
                 # Route the stream's prepare PHASE through the fused
                 # row-transform kernel (axis moved last at XLA level):
                 # the XLA-level four-step materialises every stage in
@@ -1045,8 +1064,7 @@ class ShardedSwiftly:
             return jax.lax.dynamic_slice_in_dim(arr, d * nloc, nloc)
 
         def finish_local(MNAF_BMNAF, foff0, fmask0):
-            if use_pallas_fft_bwd and os.environ.get(
-                    "SWIFTLY_PHASE_FUSED", "1") == "1":
+            if use_pallas_fft_bwd and phase_fused:
                 # the axis-0 finish through the fused forward kernel
                 # (axis moved last at XLA level; with form=bd the
                 # permuted output folds into the gather indices)
