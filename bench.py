@@ -528,8 +528,17 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
+    chip_lock = None
     if args.platform != "cpu":
         _require_tunnel_alive()
+        # Serialise chip users (round-4 lost its driver bench number to
+        # a chip collision). Released automatically if we die.
+        from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
+            import acquire_chip_lock
+
+        chip_lock = acquire_chip_lock(
+            "bench.py " + " ".join(sys.argv[1:])
+        )
 
     from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
         SWIFT_CONFIGS,
@@ -570,6 +579,14 @@ def main():
         if os.environ.get("SWIFTLY_BENCH_RETRY") == "1":
             raise
         log(f"first attempt failed ({e}); retrying in a fresh process")
+        if chip_lock is not None:
+            # We acquired the chip lock ourselves: drop it (and its
+            # held-marker env var) so the fresh process re-acquires
+            # instead of skipping acquisition while holding nothing.
+            from ska_sdp_distributed_fourier_transform_tpu.utils \
+                .chiplock import release_chip_lock
+
+            release_chip_lock(chip_lock)
         env = dict(os.environ, SWIFTLY_BENCH_RETRY="1")
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
     log(

@@ -31,6 +31,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_SWEEP_r03.jsonl")
 PY = sys.executable
+sys.path.insert(0, REPO)
 
 # (name, extra argv, extra env, timeout_s, fault_risky)
 QUEUE = [
@@ -142,6 +143,34 @@ WAVE4 = [
     ("default_split_4k",
      ["--swift_config", "4k[1]-n2k-512", "--precision", "split",
       "--skip_baseline"], {}, 3000, False),
+]
+
+# Wave 7 (round 5): close out the wave-6 gaps with the chip lock in
+# place. bd+slices measured 1412.1 sg/s @ 5.88e-8 at 16k (wave 6) and
+# became the default at yN >= 8192, so default_16k re-measures the
+# driver's exact invocation; 8k/4k decide whether the gate extends
+# down; split_16k is the VERDICT-6 production-size split-tier row;
+# the two _retry items re-test the wave-6 RESOURCE_EXHAUSTED cases on
+# an uncontended chip. Records go to BENCH_SWEEP_r05.jsonl.
+WAVE7 = [
+    ("default_16k", ["--skip_baseline"], {}, 2400, False),
+    ("bd_slices_8k",
+     ["--swift_config", "8k[1]-n4k-512", "--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd", "SWIFTLY_EXTRACT0": "slices"},
+     1800, False),
+    ("bd_slices_4k",
+     ["--swift_config", "4k[1]-n2k-512", "--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "bd", "SWIFTLY_EXTRACT0": "slices"},
+     1800, False),
+    ("split_16k",
+     ["--precision", "split", "--skip_baseline"], {}, 3600, True),
+    ("microbench_forms", [], {}, 1800, False,
+     "scripts/microbench_fft_form.py"),
+    ("phasefused_16k_retry", ["--skip_baseline"],
+     {"SWIFTLY_PHASE_FUSED": "1"}, 2400, True),
+    ("slices_16k_retry", ["--skip_baseline"],
+     {"SWIFTLY_FFT_FORM": "tt", "SWIFTLY_EXTRACT0": "slices"},
+     2400, True),
 ]
 
 # Wave 5 (round-3 session 3): the scan-hoisting knobs — gather-
@@ -333,15 +362,21 @@ def main():
     ap.add_argument("--wave6", action="store_true",
                     help="run the round-4 bd/extract0 queue "
                     "(records to BENCH_SWEEP_r04.jsonl)")
+    ap.add_argument("--wave7", action="store_true",
+                    help="run the round-5 close-out queue "
+                    "(records to BENCH_SWEEP_r05.jsonl)")
     args = ap.parse_args()
 
-    base = (WAVE6 if args.wave6 else WAVE5 if args.wave5
+    base = (WAVE7 if args.wave7 else WAVE6 if args.wave6
+            else WAVE5 if args.wave5
             else WAVE4 if args.wave4
             else WAVE3 if args.wave3
             else WAVE2 if args.wave2 else QUEUE)
+    global OUT
     if args.wave6:
-        global OUT
         OUT = os.path.join(REPO, "BENCH_SWEEP_r04.jsonl")
+    if args.wave7:
+        OUT = os.path.join(REPO, "BENCH_SWEEP_r05.jsonl")
     queue = [q if len(q) == 6 else q + ("bench.py",) for q in base]
     if args.repro_ladder:
         queue += [
@@ -362,6 +397,16 @@ def main():
             sys.exit(2)
         time.sleep(60)
     log("tunnel port open")
+    # Serialise chip users: hold the lock for the whole drain — the
+    # aliveness probe below already touches the chip — (our bench.py
+    # children skip acquisition via the inherited held-marker env),
+    # and PARK — stop before the next item — the moment the park file
+    # appears, so the driver's end-of-round bench finds the chip free
+    # instead of queued behind us.
+    from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
+        import acquire_chip_lock, chip_parked
+
+    acquire_chip_lock("bench_backlog " + " ".join(sys.argv[1:]))
     if not wait_alive():
         log("chip never became responsive; exiting 2")
         sys.exit(2)
@@ -370,6 +415,11 @@ def main():
             "items": [q[0] for q in queue]})
 
     for name, argv, env_extra, timeout_s, risky, script in queue:
+        if chip_parked():
+            log("park file present; stopping before next item")
+            record({"name": "_parked", "before": name,
+                    "ts": time.strftime("%F %T")})
+            sys.exit(0)
         status = run_item(name, argv, env_extra, timeout_s, script)
         if status != "ok" and risky:
             log(f"{name} failed and was fault-risky; waiting out a "

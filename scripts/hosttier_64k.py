@@ -49,6 +49,29 @@ def log(*args):
           flush=True)
 
 
+def write_json_atomic(path, obj):
+    """These markers exist to survive kills — a kill mid-write must
+    not leave truncated JSON, so write-to-temp + rename."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_json_or_none(path):
+    """Tolerate a corrupt/empty marker (crash mid-write before the
+    atomic-write fix, or disk-full): fall back to a fresh start
+    instead of crashing the resume path."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        log(f"ignoring unreadable marker {path}: {e}")
+        return None
+
+
 def rss_gib():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
 
@@ -113,6 +136,13 @@ def main():
         # the axon TPU plugin ignores JAX_PLATFORMS; only the config
         # knob works, and it must run before any backend query
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # multi-hour chip holder: serialise against benches; park
+        # checks below yield the chip at phase boundaries
+        from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
+            import acquire_chip_lock
+
+        acquire_chip_lock(f"hosttier_64k {args.swift_config}")
 
     import numpy as np
 
@@ -167,8 +197,7 @@ def main():
     reused_bf = False
     facets_done = 0
     if sd and os.path.exists(bf_path) and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta = read_json_or_none(meta_path) or {}
         if meta.get("fingerprint") == fingerprint:
             if meta.get("bf_f_ok"):
                 engine.attach_host_state(
@@ -186,10 +215,17 @@ def main():
 
         def _mark(k):
             if sd:
-                with open(meta_path, "w") as f:
-                    json.dump({"fingerprint": fingerprint,
-                               "bf_f_facets_done": k + 1}, f)
+                write_json_atomic(meta_path,
+                                  {"fingerprint": fingerprint,
+                                   "bf_f_facets_done": k + 1})
                 log(f"prepared facet {k} (rss {rss_gib():.1f} GiB)")
+            from ska_sdp_distributed_fourier_transform_tpu.utils \
+                .chiplock import chip_parked
+
+            if chip_parked():
+                log("park file present; stopping after facet "
+                    f"{k} (resume with the same --state_dir)")
+                sys.exit(3)
 
         t0 = time.time()
         engine.prepare_facets(facets, start_facet=facets_done,
@@ -198,9 +234,8 @@ def main():
         facets._cache = (None, None)  # free the last oracle facet
         if sd:
             engine._BF_F.flush()
-            with open(meta_path, "w") as f:
-                json.dump({"fingerprint": fingerprint, "bf_f_ok": True},
-                          f)
+            write_json_atomic(meta_path, {"fingerprint": fingerprint,
+                                          "bf_f_ok": True})
     bf_gib = engine._BF_F.nbytes / 1024**3
     log(f"BF_F ready ({'reused' if reused_bf else f'{t_prep:.0f}s'}); "
         f"{bf_gib:.1f} GiB (rss {rss_gib():.1f} GiB)")
@@ -213,8 +248,7 @@ def main():
     prog_path = sd and os.path.join(sd, "progress.json")
     start = 0
     if sd and os.path.exists(acc_path) and os.path.exists(prog_path):
-        with open(prog_path) as f:
-            prog = json.load(f)
+        prog = read_json_or_none(prog_path) or {}
         if (prog.get("fingerprint") == fingerprint
                 and prog.get("valid") and prog.get("next_column")):
             log(f"resuming accumulator from column "
@@ -233,12 +267,11 @@ def main():
     def save_ckpt(done):
         # invalidate -> overwrite in place -> re-arm (see module doc)
         t0 = time.time()
-        with open(prog_path, "w") as f:
-            json.dump({"valid": False}, f)
+        write_json_atomic(prog_path, {"valid": False})
         np.save(acc_path, engine._accum)
-        with open(prog_path, "w") as f:
-            json.dump({"fingerprint": fingerprint, "valid": True,
-                       "next_column": done}, f)
+        write_json_atomic(prog_path,
+                          {"fingerprint": fingerprint, "valid": True,
+                           "next_column": done})
         log(f"checkpointed accumulator at column {done} "
             f"({time.time() - t0:.0f}s)")
 
@@ -259,6 +292,16 @@ def main():
             f"rss {rss_gib():.1f} GiB)")
         if sd and ((ci + 1) % args.ckpt_every == 0 or ci + 1 == C):
             save_ckpt(ci + 1)
+        if ci + 1 < C:
+            from ska_sdp_distributed_fourier_transform_tpu.utils \
+                .chiplock import chip_parked
+
+            if chip_parked():
+                if sd:
+                    save_ckpt(ci + 1)
+                log(f"park file present; stopping after column "
+                    f"{ci + 1} (resume with the same --state_dir)")
+                sys.exit(3)
     t_cols = time.time() - t_cols0
 
     # accumulator must be non-trivially populated by the executed

@@ -28,6 +28,11 @@ def main():
     from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
         four_step_pallas,
     )
+    from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock import (
+        acquire_chip_lock,
+    )
+
+    acquire_chip_lock("microbench_fft_form")
 
     # complex must be constructed INSIDE jit from float operands — the
     # tunnel backend cannot execute eager complex primitives (see verify

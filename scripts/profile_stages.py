@@ -42,6 +42,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
+        import acquire_chip_lock
+
+    acquire_chip_lock("profile_stages")
+
     from ska_sdp_distributed_fourier_transform_tpu import (
         SwiftlyConfig,
         make_full_facet_cover,

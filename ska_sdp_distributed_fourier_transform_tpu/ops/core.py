@@ -91,8 +91,16 @@ def _wrap_take_slices(a, start, size, axis):
     head for the wrapped tail, stitched with one small slice. XLA
     lowers this to block copies where the row gather builds per-row
     scatter/gather descriptors.
+
+    Requires ``size <= a.shape[axis]`` (the wrapped tail is read as a
+    single head slice — unlike :func:`_wrap_take`, whose index-mod
+    handles windows that wrap more than once).
     """
     n = a.shape[axis]
+    assert size <= n, (
+        f"_wrap_take_slices needs size <= axis length ({size} > {n}); "
+        "use _wrap_take for multi-wrap windows"
+    )
     start = jnp.mod(start, n)
     q1 = jax.lax.dynamic_slice_in_dim(a, start, size, axis)
     # dynamic_slice clamps start to n-size; delta is how far it moved

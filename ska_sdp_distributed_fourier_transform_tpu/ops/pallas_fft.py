@@ -368,7 +368,7 @@ def four_step_pallas(x, inverse, phase=None, tile_rows=32,
 
 
 def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
-                       interpret=None, as_pair=False):
+                       interpret=None, as_pair=False, form=None):
     """Window + centre-pad + four-step inverse DFT + per-facet phase.
 
     Matches ``prepare_facet_op(rows, off, axis=-1)`` with the facet
@@ -383,7 +383,8 @@ def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
     """
     F, c, yB = rows.shape
     lo = yN // 2 - yB // 2
-    form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
+    if form is None:
+        form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
     if form == "bd" and pad_spec_aligned(yN, lo, yB, True):
         # window+pad fused into the kernel's input DMA: the [F, c, yN]
         # padded intermediate never touches HBM and stage 1 contracts
@@ -402,7 +403,7 @@ def fused_prepare_rows(rows, Fb_yB, phase, yN, tile_rows=32,
 
 
 def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,
-                      interpret=None):
+                      interpret=None, form=None):
     """Four-step forward DFT + wrap-window gather at the facet offset +
     ``Fb`` window + mask: the engine's axis-1 ``finish_facet``.
 
@@ -413,7 +414,8 @@ def fused_finish_rows(x, Fb_yB, facet_offs, masks, yB, tile_rows=32,
     :return: complex64 [F, c, yB]
     """
     F, c, yN = x.shape
-    form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
+    if form is None:
+        form = os.environ.get("SWIFTLY_FFT_FORM", "tt")
     # bd: take the output in permuted order and fold the permutation
     # into the wrap-window gather indices — the final lane transpose
     # never runs and the gather costs the same

@@ -217,7 +217,7 @@ class ShardedSwiftly:
                  fft_impl="mxu", fused_fft=None, scan_unroll=None,
                  gather_fused=None, acc_mode=None, fold_mode=None,
                  prep_mode=None, finish_mode=None, extract0=None,
-                 phase_fused=None):
+                 phase_fused=None, fft_form=None):
         if engine_mode not in ("matmul", "pallas", "fft"):
             raise ValueError(f"Unknown engine_mode: {engine_mode}")
         self.engine_mode = engine_mode
@@ -287,8 +287,29 @@ class ShardedSwiftly:
         #     slices (_wrap_take_slices) — pure DMA.
         # Mathematically identical (A0 @ roll(X) == roll(A0) @ X);
         # None defers to the SWIFTLY_EXTRACT0 env knob.
+        # Four-step tile formulation for the fused transform kernels
+        # ("tt"/"ls"/"bd", ops/pallas_fft.py). Resolved ONCE here and
+        # threaded explicitly (no trace-time env reads). Measured on
+        # v5e 16k[1]-n8k-512 (BENCH_SWEEP_r04.jsonl): bd+slices
+        # 1412.1 sg/s @ RMSE 5.88e-8 vs tt+roll 1199.3 @ 1.10e-7 —
+        # but bd WITHOUT slices regressed (1060.7), so the pair is
+        # gated together: bd+slices at yN >= 8192 in pallas mode,
+        # tt+roll otherwise (8k/4k pending measurement).
+        if fft_form is None:
+            fft_form = os.environ.get("SWIFTLY_FFT_FORM")
+        if fft_form is None:
+            fft_form = (
+                "bd"
+                if engine_mode == "pallas" and core.yN_size >= 8192
+                else "tt"
+            )
+        if fft_form not in ("tt", "ls", "bd"):
+            raise ValueError(f"Unknown fft_form: {fft_form}")
+        self.fft_form = fft_form
         if extract0 is None:
-            extract0 = os.environ.get("SWIFTLY_EXTRACT0", "roll")
+            extract0 = os.environ.get("SWIFTLY_EXTRACT0")
+        if extract0 is None:
+            extract0 = "slices" if self.fft_form == "bd" else "roll"
         if extract0 not in ("roll", "slices"):
             raise ValueError(f"Unknown extract0: {extract0}")
         self.extract0 = extract0
@@ -588,6 +609,7 @@ class ShardedSwiftly:
         rdtype = core.real_dtype
 
         phase_fused = self.phase_fused
+        fform = self.fft_form
 
         def prepare_local(facets, foff0):
             # facets [Floc, yB, yB] -> BF_F [Floc, yN, yB]
@@ -607,9 +629,8 @@ class ShardedSwiftly:
                     _my(jnp.asarray(ph0_pair[1]), d, Floc),
                 )
                 ft = jnp.swapaxes(facets, 1, 2)  # [Floc, yB(cols), yB]
-                out = fused_prepare_rows(ft, fb_yB, ph0, yN).astype(
-                    cdtype
-                )
+                out = fused_prepare_rows(ft, fb_yB, ph0, yN,
+                                         form=fform).astype(cdtype)
                 return jnp.swapaxes(out, 1, 2)  # [Floc, yN, yB]
             return jax.vmap(
                 lambda f, o0: prep_facet(f, o0, 0, Fb, yN)
@@ -710,7 +731,7 @@ class ShardedSwiftly:
                 # window gathers, and per-plane gathers double the
                 # gather count
                 NMBF_BF = fused_prepare_rows(
-                    rows, fb_yB, ph1, yN
+                    rows, fb_yB, ph1, yN, form=fform
                 ).astype(cdtype)
             else:
                 def col_one(bf, o1):
@@ -925,6 +946,7 @@ class ShardedSwiftly:
                     NAF_MNAF, fb_yB,
                     _my(foff1, d, NAF_MNAF.shape[0]),
                     _my(fmask1, d, NAF_MNAF.shape[0]), yB,
+                    form=fform,
                 ).astype(cdtype)
             else:
                 NAF_BMNAF = jax.vmap(
@@ -1072,7 +1094,7 @@ class ShardedSwiftly:
 
                 x = jnp.swapaxes(MNAF_BMNAF, 1, 2)  # [Floc, yB, yN]
                 out = fused_finish_rows(
-                    x, fb_yB, foff0, fmask0, yB
+                    x, fb_yB, foff0, fmask0, yB, form=fform
                 ).astype(cdtype)
                 return jnp.swapaxes(out, 1, 2)  # [Floc, yB, yB]
             out = jax.vmap(
@@ -1156,7 +1178,7 @@ class ShardedSwiftly:
                     from ..ops.pallas_fft import fused_finish_rows
 
                     acc = fused_finish_rows(
-                        acc, fb_yB, foff1, fmask1, yB
+                        acc, fb_yB, foff1, fmask1, yB, form=fform
                     ).astype(cdtype)
                 else:
                     acc = jax.vmap(
@@ -1209,7 +1231,7 @@ class ShardedSwiftly:
                         from ..ops.pallas_fft import fused_prepare_rows
 
                         BF_F = fused_prepare_rows(
-                            BF_F, fb_yB, ph1, yN
+                            BF_F, fb_yB, ph1, yN, form=fform
                         ).astype(cdtype)  # [Floc, yN, yN]
                     else:
                         BF_F = jax.vmap(

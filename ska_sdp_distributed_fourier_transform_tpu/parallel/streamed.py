@@ -512,10 +512,21 @@ class StreamedSwiftly:
         """
         core = self.core
         yN, yB = core.yN_size, self.yB_size
-        self._BF_F = self._host_alloc(
+        self._BF_F, reused = self._host_alloc(
             "bf_f", (len(self._store_fidx), yN, yB), core.dtype,
             reuse=start_facet > 0,
         )
+        if start_facet > 0 and not reused:
+            # The caller believes facets < start_facet are already in
+            # the store, but the allocation came back fresh (RAM mode,
+            # missing file, or shape/dtype mismatch) — skipping them
+            # would leave silent zeros in BF_F.
+            raise ValueError(
+                f"start_facet={start_facet} but no existing host store "
+                "was reused (host_store_dir unset, file missing, or "
+                "shape/dtype changed) — resume would leave zero-filled "
+                "facets; restart with start_facet=0"
+            )
         for k, fi in enumerate(self._store_fidx):
             if k < start_facet:
                 continue
@@ -541,18 +552,24 @@ class StreamedSwiftly:
     def _host_alloc(self, name, shape, dtype, reuse=False):
         """Allocate a host-state array: RAM by default, a disk memmap
         under ``host_store_dir`` when set (fresh zero-filled, or the
-        existing file when ``reuse`` — partial-prepare resume)."""
+        existing file when ``reuse`` — partial-prepare resume).
+
+        :return: ``(array, reused)`` — ``reused`` is True only when an
+            existing compatible store was actually reattached; callers
+            resuming mid-state MUST check it (a silently fresh array
+            would hold zeros where the caller assumes data).
+        """
         if self.host_store_dir:
             os.makedirs(self.host_store_dir, exist_ok=True)
             path = os.path.join(self.host_store_dir, f"{name}.npy")
             if reuse and os.path.exists(path):
                 mm = np.lib.format.open_memmap(path, mode="r+")
                 if mm.shape == shape and mm.dtype == dtype:
-                    return mm
+                    return mm, True
             return np.lib.format.open_memmap(
                 path, mode="w+", shape=shape, dtype=dtype
-            )
-        return np.zeros(shape, dtype=dtype)
+            ), False
+        return np.zeros(shape, dtype=dtype), False
 
     def attach_host_state(self, bf_f=None, accum=None):
         """Adopt already-computed host state (e.g. a memmap reloaded
@@ -577,7 +594,7 @@ class StreamedSwiftly:
 
     def zero_accumulator(self):
         """Fresh host-side facet accumulator (``accum_dtype``)."""
-        self._accum = self._host_alloc(
+        self._accum, _ = self._host_alloc(
             "accum",
             (len(self._store_fidx), self.core.yN_size, self.yB_size),
             self.accum_dtype,
