@@ -21,6 +21,9 @@ for i in $(seq 1 120); do
   sleep 300
 done
 
+# state lives INSIDE the repo (gitignored): /root/state64k was a
+# different path from where round 4 actually left its state, and the
+# mismatch silently restarted the multi-hour prepare from facet 0
 exec python scripts/hosttier_64k.py --platform tpu --full \
-  --state_dir /root/state64k --ckpt_every 30 \
+  --state_dir state64k --ckpt_every 30 \
   --out validation/hosttier_64k_full.json

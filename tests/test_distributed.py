@@ -483,3 +483,60 @@ def test_phase_fused_prepare_finish_agrees(monkeypatch):
     assert rmse < 1e-3, rmse
     for cfg, approx in zip(fcs, outs["1"]):
         assert check_facet(config.image_size, cfg, approx, SOURCES) < 5e-3
+
+
+@pytest.mark.parametrize(
+    "catalogue_entry",
+    [
+        # (lo, yB) both multiples of the bd plan's n2: the fused
+        # window+pad input DMA (pad_spec) engages
+        "1536[1]-n512-384",
+        # lo NOT a multiple of n2 (lo=80, n2=32): fused_prepare_rows
+        # must take the materialised window+pad fallback
+        # (ops/pallas_fft.py pad_spec_aligned gate)
+        "1k[1]-n512-256",
+    ],
+)
+def test_bd_slices_engine_aligned_and_misaligned(catalogue_entry):
+    """The bd+slices production default holds the oracle bound through
+    the pallas engine at BOTH a pad_spec-aligned and a misaligned
+    catalogue geometry — the fallback path gets engine-level coverage,
+    not just kernel-level (round-4 verdict item 7)."""
+    import jax.numpy as jnp
+
+    from ska_sdp_distributed_fourier_transform_tpu.ops.core import (
+        SwiftlyCore,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.ops.pallas_fft import (
+        _plan_pair,
+        pad_spec_aligned,
+    )
+    from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
+        SWIFT_CONFIGS,
+    )
+
+    params = dict(SWIFT_CONFIGS[catalogue_entry])
+    config = SwiftlyConfig(**params)
+    yN, yB = params["yN_size"], params["yB_size"]
+    aligned = pad_spec_aligned(yN, yN // 2 - yB // 2, yB, True)
+    assert aligned == (catalogue_entry == "1536[1]-n512-384")
+    assert _plan_pair(yN, True, "bd") is not None
+
+    core64 = SwiftlyCore(
+        params["W"], params["N"], params["xM_size"], params["yN_size"],
+        dtype=jnp.complex64,
+    )
+    fcs = make_full_facet_cover(config)
+    sgs = make_full_subgrid_cover(config)
+    sources = [(1.0, 3, -2)]
+    facets = [make_facet(config.image_size, c, sources) for c in fcs]
+    mesh = make_tile_mesh(2)
+
+    eng = ShardedSwiftly(core64, fcs, sgs, mesh, engine_mode="pallas",
+                         fused_fft="both", fft_form="bd",
+                         extract0="slices")
+    assert eng.fft_form == "bd" and eng.extract0 == "slices"
+    out, _ = eng.roundtrip(eng.pack_facets(facets))
+    for cfg, approx in zip(fcs, np.asarray(out)):
+        err = check_facet(config.image_size, cfg, approx, sources)
+        assert err < 5e-3, f"{catalogue_entry}: {err}"
