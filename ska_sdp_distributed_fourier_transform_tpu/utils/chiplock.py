@@ -61,10 +61,12 @@ def acquire_chip_lock(tag: str, timeout_s: float | None = None,
     global _held
     if os.environ.get("SWIFTLY_CHIP_LOCK", "1") == "0":
         return None
+    if _held is not None:
+        # this process already holds it (checked before the held-marker
+        # env var, which we set ourselves on acquire)
+        return _held
     if os.environ.get("SWIFTLY_CHIP_LOCK_HELD") == "1":
         return None
-    if _held is not None:
-        return _held
     fd = os.open(LOCK_PATH, os.O_RDWR | os.O_CREAT, 0o666)
     deadline = None if timeout_s is None else time.monotonic() + timeout_s
     waited = False
