@@ -319,6 +319,9 @@ def main():
         "n_columns_total": n_cols_total,
         "subgrids_executed": n_sg,
         "prepare_s": round(t_prep, 1),
+        "prepare_facets_measured": (
+            0 if reused_bf else len(fcs) - facets_done
+        ),
         "bf_f_reused": reused_bf,
         "columns_s_total": round(t_cols, 1),
         "column_s": col_times if len(col_times) <= 8 else {
