@@ -171,6 +171,13 @@ WAVE7 = [
     ("slices_16k_retry", ["--skip_baseline"],
      {"SWIFTLY_FFT_FORM": "tt", "SWIFTLY_EXTRACT0": "slices"},
      2400, True),
+    # bd-kernel tile-geometry knobs (TR/VMEM were neutral for tt —
+    # the bd tile skips the lane transpose, so its VMEM/occupancy
+    # trade-off is different and unmeasured)
+    ("bd_tr64_16k", ["--skip_baseline"],
+     {"SWIFTLY_FFT_TR": "64", "SWIFTLY_FFT_VMEM": "28"}, 2400, False),
+    ("bd_tr16_16k", ["--skip_baseline"],
+     {"SWIFTLY_FFT_TR": "16", "SWIFTLY_FFT_VMEM": "14"}, 2400, False),
 ]
 
 # Wave 5 (round-3 session 3): the scan-hoisting knobs — gather-
