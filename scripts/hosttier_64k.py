@@ -122,6 +122,14 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--accum_dtype", default="complex64",
                     choices=["complex64", "complex128"])
+    ap.add_argument("--sparse_fov_pixel", type=int, default=None,
+                    help="cover only a circular FoV of this diameter "
+                    "with facets (library sparse cover, the reference's "
+                    "demo_sparse_facet workload) instead of the full "
+                    "image — the ONLY way a 128k-class facet state fits "
+                    "this box (full 128k covers are 25-100 facets, "
+                    "155-310 GiB host state); sources are placed inside "
+                    "the FoV")
     ap.add_argument("--state_dir", default=None,
                     help="resumable state: BF_F memmap + accumulator "
                     "checkpoints")
@@ -171,10 +179,23 @@ def main():
         f"{plan.host_peak_device / 1024**3:.2f} GiB")
 
     config = SwiftlyConfig(dtype=np.complex64, **params)
-    fcs = make_full_facet_cover(config)
-    sgs = make_full_subgrid_cover(config)
     N = config.image_size
-    sources = [(1.0, N // 8, -N // 8), (0.5, -N // 3, N // 5)]
+    if args.sparse_fov_pixel:
+        from ska_sdp_distributed_fourier_transform_tpu.sparse import (
+            make_sparse_facet_cover,
+        )
+
+        fov = args.sparse_fov_pixel
+        fcs = make_sparse_facet_cover(config, fov)
+        log(f"sparse cover: {len(fcs)} facets over a {fov}-pixel FoV "
+            f"(full cover would be "
+            f"{(-(-N // config.max_facet_size)) ** 2})")
+        # sources inside the circular FoV (radius fov/2 around centre)
+        sources = [(1.0, fov // 4, -fov // 8), (0.5, -fov // 6, fov // 5)]
+    else:
+        fcs = make_full_facet_cover(config)
+        sources = [(1.0, N // 8, -N // 8), (0.5, -N // 3, N // 5)]
+    sgs = make_full_subgrid_cover(config)
 
     sd = args.state_dir
     fingerprint = {
@@ -183,6 +204,10 @@ def main():
         "accum_dtype": args.accum_dtype,
         "sources": [list(map(float, s)) for s in sources],
     }
+    if args.sparse_fov_pixel:
+        # only when active: full-cover fingerprints must keep matching
+        # state written before this key existed
+        fingerprint["sparse_fov_pixel"] = args.sparse_fov_pixel
 
     engine = StreamedSwiftly(
         config._core, fcs, sgs, batch_chunk=args.batch_chunk,
@@ -314,6 +339,8 @@ def main():
         "tier": "host-streamed",
         "platform": args.platform,
         "accum_dtype": args.accum_dtype,
+        "sparse_fov_pixel": args.sparse_fov_pixel,
+        "n_facets": len(fcs),
         "batch_chunk": args.batch_chunk,
         "columns_executed": C,
         "n_columns_total": n_cols_total,
