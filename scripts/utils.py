@@ -50,12 +50,6 @@ def setup_platform(args):
         platform = "tpu" if accel else "cpu"
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # single-chip arbitration (see utils/chiplock.py)
-        from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
-            import acquire_chip_lock
-
-        acquire_chip_lock("demo " + " ".join(sys.argv[:2]))
         jax.config.update("jax_enable_x64", True)
         n_mesh = getattr(args, "mesh_devices", None)
         if n_mesh and n_mesh > 1:
@@ -67,6 +61,12 @@ def setup_platform(args):
                     flags
                     + f" --xla_force_host_platform_device_count={n_mesh}"
                 ).strip()
+    else:
+        # single-chip arbitration (see utils/chiplock.py)
+        from ska_sdp_distributed_fourier_transform_tpu.utils.chiplock \
+            import acquire_chip_lock
+
+        acquire_chip_lock("demo " + " ".join(sys.argv[:2]))
     return platform
 
 
