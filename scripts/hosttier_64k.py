@@ -134,6 +134,10 @@ def main():
                     help="resumable state: BF_F memmap + accumulator "
                     "checkpoints")
     ap.add_argument("--ckpt_every", type=int, default=30)
+    ap.add_argument("--rss_exit_gib", type=float, default=100.0,
+                    help="finish phase: exit 3 (resumable) when current "
+                    "RSS exceeds this, before the OOM killer does it "
+                    "non-gracefully")
     ap.add_argument("--rmse_bound", type=float, default=1e-5)
     ap.add_argument("--out", default="validation/hosttier_64k_cpu.json")
     args = ap.parse_args()
@@ -373,14 +377,46 @@ def main():
 
     # --- full-run finish + per-facet RMSE, one facet at a time -------
     if C == n_cols_total:
+        import ctypes
+        import gc
+
         from ska_sdp_distributed_fourier_transform_tpu.api_helper import (
             make_facet,
         )
 
+        def cur_rss_gib():
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024**2
+            return 0.0
+
+        try:
+            _libc = ctypes.CDLL("libc.so.6")
+        except OSError:
+            _libc = None
+
         engine._BF_F = None  # release the memmap before finish
-        t_fin0 = time.time()
+        # Per-facet resumable finish: at 64k each facet's finish cycles
+        # ~12-17 GiB of host temporaries (uploaded accum rows + the c128
+        # oracle + the finished facet); run 1's anon RSS grew ~5.5 GiB
+        # per facet on top of the 49.5 GiB accumulator until the OOM
+        # killer took the process at facet 6 of 9. Only the RMSE list
+        # is carried between facets, so it checkpoints trivially and a
+        # supervisor can restart a killed process where it left off
+        # (run_hosttier_64k_full.sh loops on exit code 137/3).
+        fin_path = sd and os.path.join(sd, "finish_progress.json")
         facet_rmse = []
-        for fi in range(len(fcs)):
+        t_fin_prev = 0.0
+        if sd and os.path.exists(fin_path):
+            finp = read_json_or_none(fin_path) or {}
+            if finp.get("fingerprint") == fingerprint:
+                facet_rmse = list(finp.get("facet_rmse", []))
+                t_fin_prev = float(finp.get("finish_s_prev", 0.0))
+                if facet_rmse:
+                    log(f"resuming finish from facet {len(facet_rmse)}")
+        t_fin0 = time.time()
+        for fi in range(len(facet_rmse), len(fcs)):
             t0 = time.time()
             approx = engine.finish_facet(fi)
             oracle = np.asarray(
@@ -396,10 +432,25 @@ def main():
                 err2 += float(np.vdot(d, d).real)
             rmse = float(np.sqrt(err2 / approx.size))
             facet_rmse.append(rmse)
-            log(f"facet {fi}: RMSE {rmse:.3e} "
-                f"({time.time() - t0:.0f}s, rss {rss_gib():.1f} GiB)")
             del approx, oracle
-        t_fin = time.time() - t_fin0
+            gc.collect()
+            if _libc is not None:
+                _libc.malloc_trim(0)  # return freed arenas to the OS
+            if sd:
+                write_json_atomic(fin_path, {
+                    "fingerprint": fingerprint,
+                    "facet_rmse": facet_rmse,
+                    "finish_s_prev": t_fin_prev + time.time() - t_fin0,
+                })
+            log(f"facet {fi}: RMSE {rmse:.3e} "
+                f"({time.time() - t0:.0f}s, rss cur "
+                f"{cur_rss_gib():.1f} / peak {rss_gib():.1f} GiB)")
+            if (cur_rss_gib() > args.rss_exit_gib
+                    and fi + 1 < len(fcs)):
+                log(f"current RSS above {args.rss_exit_gib} GiB — "
+                    "exiting 3 for a fresh-process resume")
+                sys.exit(3)
+        t_fin = t_fin_prev + time.time() - t_fin0
         worst = max(facet_rmse)
         result.update({
             "complete_roundtrip": True,

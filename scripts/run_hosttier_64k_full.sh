@@ -23,7 +23,22 @@ done
 
 # state lives INSIDE the repo (gitignored): /root/state64k was a
 # different path from where round 4 actually left its state, and the
-# mismatch silently restarted the multi-hour prepare from facet 0
-exec python scripts/hosttier_64k.py --platform tpu --full \
-  --state_dir state64k --ckpt_every 30 \
-  --out validation/hosttier_64k_full.json
+# mismatch silently restarted the multi-hour prepare from facet 0.
+# Loop on resumable exits: 3 = voluntary RSS-guard exit, 137 = the OOM
+# killer got there first — both resume from the per-facet/column
+# markers in the state dir.
+for attempt in $(seq 1 12); do
+  python scripts/hosttier_64k.py --platform tpu --full \
+    --state_dir state64k --ckpt_every 30 \
+    --out validation/hosttier_64k_full.json
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    exit 0
+  fi
+  if [ $rc -ne 3 ] && [ $rc -ne 137 ]; then
+    echo "[$(date +%T)] non-resumable exit rc=$rc; stopping"
+    exit $rc
+  fi
+  echo "[$(date +%T)] resumable exit rc=$rc (attempt $attempt); restarting"
+  sleep 30
+done
