@@ -40,14 +40,24 @@ import numpy as np
 __all__ = ["factor_pair", "fft_mxu_plan", "fft_mxu"]
 
 
-def factor_pair(n: int):
+def factor_pair(n: int, min_n2: int = 1):
     """Split ``n = N1 · N2`` with both factors as close as possible (and
     N2 | n/2 so the shift convention folds into the constants). Returns
-    None when ``n`` has no suitable factorisation (e.g. primes)."""
+    None when ``n`` has no suitable factorisation (e.g. primes).
+
+    :param min_n2: require ``N2 >= min_n2`` (pushes N1 down). The bd
+        Pallas tile needs a lane-aligned minor factor: Mosaic rejects
+        its in-register ``[.., n1, n2] -> [.., n]`` shape cast when
+        ``n2`` is below the 128-lane width (measured on v5e at
+        yN=4096: n2=64 -> "infer-vector-layout: unsupported shape
+        cast"; n2=128 compiles). min_n2=128 re-factors 4096 as 32x128.
+    """
     best = None
     for n1 in range(int(np.sqrt(n)), 1, -1):
         if n % n1 == 0:
             n2 = n // n1
+            if n2 < min_n2:
+                continue
             if (n // 2) % n2 == 0 and (n // 2) % n1 == 0:
                 best = (n1, n2)
                 break
@@ -55,10 +65,10 @@ def factor_pair(n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def fft_mxu_plan(n: int, inverse: bool = False):
+def fft_mxu_plan(n: int, inverse: bool = False, min_n2: int = 1):
     """Precompute the (F1, W, F2) constants of the shifted four-step
     transform of length ``n`` (host-side float64 numpy; cached)."""
-    pair = factor_pair(n)
+    pair = factor_pair(n, min_n2)
     if pair is None:
         return None
     N1, N2 = pair

@@ -45,7 +45,10 @@ def _plan_pair(n, inverse, form="tt"):
     [c, b] layout."""
     from .fft_mxu import fft_mxu_plan
 
-    plan = fft_mxu_plan(n, inverse)
+    # bd's in-register [.., n1, n2] -> [.., n] cast needs a
+    # lane-aligned minor factor (see factor_pair); tt/ls transpose per
+    # stage and take the balanced split
+    plan = fft_mxu_plan(n, inverse, min_n2=128 if form == "bd" else 1)
     if plan is None:
         return None
     n1, n2, F1, W, F2 = plan

@@ -403,13 +403,21 @@ def test_fft_form_bd_engine_agrees(monkeypatch):
                              engine_mode="pallas", fused_fft="both")
         out, _ = eng.roundtrip(eng.pack_facets(facets))
         outs[form] = np.asarray(out)
+        # each form holds the fused-both small-size noise floor vs the
+        # oracle (~1.6e-3 at yN=512; production sizes measure 5.9e-8
+        # on chip — the bwd fused kernel's noise shrinks with size and
+        # the defaults only engage it at yN >= 4096)
+        for cfg, approx in zip(fcs, outs[form]):
+            assert check_facet(config.image_size, cfg, approx,
+                               SOURCES) < 5e-3
     d = outs["bd"] - outs["tt"]
     rmse = np.sqrt((np.abs(d) ** 2).mean())
-    # same kernels, different contraction association order — a few
-    # ulps of f32 noise, far below the engine's own oracle floor
-    assert rmse < 1e-5, rmse
-    for cfg, approx in zip(fcs, outs["bd"]):
-        assert check_facet(config.image_size, cfg, approx, SOURCES) < 5e-3
+    # bd plans force a lane-aligned minor factor (128-lane Mosaic
+    # shape-cast constraint, ops/fft_mxu.py factor_pair), so at small
+    # sizes bd and tt use DIFFERENT factorisations: their outputs
+    # differ by each path's independent rounding (each verified above
+    # against the oracle), not by ulps-of-the-same-plan as before
+    assert rmse < 2e-3, rmse
 
 
 def test_extract0_slices_matches_roll():
@@ -488,10 +496,11 @@ def test_phase_fused_prepare_finish_agrees(monkeypatch):
 @pytest.mark.parametrize(
     "catalogue_entry",
     [
-        # (lo, yB) both multiples of the bd plan's n2: the fused
-        # window+pad input DMA (pad_spec) engages
-        "1536[1]-n512-384",
-        # lo NOT a multiple of n2 (lo=80, n2=32): fused_prepare_rows
+        # (lo, yB) both multiples of the bd plan's n2=128 (yN=1024 ->
+        # 8x128, yB=512, lo=256): the fused window+pad input DMA
+        # (pad_spec) engages
+        "1k[1]-n1k-256",
+        # lo NOT a multiple of n2 (lo=80 vs n2=128): fused_prepare_rows
         # must take the materialised window+pad fallback
         # (ops/pallas_fft.py pad_spec_aligned gate)
         "1k[1]-n512-256",
@@ -519,7 +528,7 @@ def test_bd_slices_engine_aligned_and_misaligned(catalogue_entry):
     config = SwiftlyConfig(**params)
     yN, yB = params["yN_size"], params["yB_size"]
     aligned = pad_spec_aligned(yN, yN // 2 - yB // 2, yB, True)
-    assert aligned == (catalogue_entry == "1536[1]-n512-384")
+    assert aligned == (catalogue_entry == "1k[1]-n1k-256")
     assert _plan_pair(yN, True, "bd") is not None
 
     core64 = SwiftlyCore(

@@ -244,7 +244,10 @@ def test_fused_prepare_rows_bd_matches_tt(rng, monkeypatch, yB_blocks):
 
     n = 512
     n2 = _plan_pair(n, True, "bd")[1]
-    yB = 10 * n2 if yB_blocks == "aligned" else 10 * n2 - 8
+    # bd plans now force a lane-aligned minor factor (n2=128 at n=512:
+    # 4x128), so derive a geometry that is valid for ANY plan: the
+    # aligned case needs both yB and lo = (n - yB)/2 to be n2-multiples
+    yB = n - 2 * n2 if yB_blocks == "aligned" else n - 2 * n2 - 8
     lo = n // 2 - yB // 2
     assert pad_spec_aligned(n, lo, yB, True) == (yB_blocks == "aligned")
     x = _crand(rng, (3, 24, yB))
