@@ -64,6 +64,15 @@ def main():
     ap.add_argument("--prep_facets", type=int, default=None,
                     help="facets the measured prepare_s actually "
                     "covered (a resumed run times fewer than nfacet)")
+    ap.add_argument("--prepare_s_per_facet", type=float, default=None,
+                    help="override: measured prepare seconds per facet "
+                    "(for multi-session runs whose final artifact only "
+                    "records the last session's phases)")
+    ap.add_argument("--column_s", type=float, default=None,
+                    help="override: measured steady-state seconds per "
+                    "column")
+    ap.add_argument("--finish_s_per_facet", type=float, default=None,
+                    help="override: measured finish seconds per facet")
     args = ap.parse_args()
 
     from ska_sdp_distributed_fourier_transform_tpu.swift_configs import (
@@ -75,13 +84,25 @@ def main():
     src = cfg_numbers(SWIFT_CONFIGS[m["config"]])
     tgt = cfg_numbers(SWIFT_CONFIGS[args.target])
 
-    # measured 64k phase times
+    # measured 64k phase times (CLI overrides for multi-session runs)
     n_prep_facets = args.prep_facets or m.get(
         "prepare_facets_measured", src["nfacet"]
     )
-    prep_per_facet = m["prepare_s"] / max(1, n_prep_facets)
-    col_s = m["columns_s_total"] / max(1, m["columns_executed"])
-    fin_per_facet = m.get("finish_s", 0.0) / src["nfacet"]
+    prep_per_facet = (
+        args.prepare_s_per_facet
+        if args.prepare_s_per_facet is not None
+        else m["prepare_s"] / max(1, n_prep_facets)
+    )
+    col_s = (
+        args.column_s
+        if args.column_s is not None
+        else m["columns_s_total"] / max(1, m["columns_executed"])
+    )
+    fin_per_facet = (
+        args.finish_s_per_facet
+        if args.finish_s_per_facet is not None
+        else m.get("finish_s", 0.0) / src["nfacet"]
+    )
 
     # scale by bytes (tunnel-bound phases)
     f_scale = facet_bytes(tgt) / facet_bytes(src)
@@ -136,9 +157,12 @@ def main():
             "family on 320-512 GiB cluster nodes "
             "(run_distr_single_csd3.slurm)."
         ),
-        "executed_128k_evidence": "validation/hosttier_128k_bounded.json"
-        if os.path.exists("validation/hosttier_128k_bounded.json")
-        else None,
+        "executed_128k_evidence": next(
+            (p for p in (
+                "validation/hosttier_128k_sparse_full.json",
+                "validation/hosttier_128k_bounded.json",
+            ) if os.path.exists(p)), None
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
