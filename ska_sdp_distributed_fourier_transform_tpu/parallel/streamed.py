@@ -90,9 +90,21 @@ class StreamedSwiftly:
     """
 
     def __init__(self, core: SwiftlyCore, facet_configs, subgrid_configs,
-                 batch_chunk=None, prepare_chunk=2048, precision="high",
-                 fft_impl="xla", mesh=None, process_local=None,
-                 accum_dtype=None, host_store_dir=None):
+                 batch_chunk=None, prepare_chunk=2048,
+                 precision="highest", fft_impl="xla", mesh=None,
+                 process_local=None, accum_dtype=None,
+                 host_store_dir=None):
+        # precision defaults to "highest" (6-pass bf16) here, unlike the
+        # device-resident engine's "high": the host tier is
+        # transfer-bound (the extra MXU passes are invisible next to
+        # the per-column window shipping), and "high" measurably
+        # corrupts the backward extraction sandwich at large-N scales —
+        # at 128k[1]-n16k-1k the subgrid values sit at ~1/N^2 ~ 6e-11
+        # and the 3-pass split's dropped terms left the accumulator
+        # with ~20x excess energy on chip (facet RMSE 0.12-1.3 vs the
+        # oracle; "highest" reproduces the CPU accumulator exactly —
+        # measured 2026-08-20, /tmp/dbg_accum* methodology in
+        # ROUND5_NOTES.md).
         self.core = core
         #: Optional directory for disk-backed host state: when set,
         #: ``BF_F`` and the accumulator are numpy memmaps
